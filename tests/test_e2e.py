@@ -1,0 +1,48 @@
+"""End-to-end CLI smoke: tiny two-stage UVC run on synthetic data."""
+
+import os
+
+import pytest
+
+
+def test_cli_joint_train_tiny(tmp_path):
+    from uvc_tpu.cli.joint_train import main
+    main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "3",
+        "--num_epochs", "2", "--warmup_epochs", "1",
+        "--post_num_epochs", "1", "--warmup_steps", "2",
+        "--zlr_schedule_list", "1,5", "--gating_interval", "2",
+        "--enable_patch_gating", "0", "--distillation-type", "soft",
+        "--eval_every", "3",
+        "--output_dir", str(tmp_path), "--name", "smoke",
+    ])
+    out = tmp_path / "smoke"
+    assert (out / "metrics.jsonl").exists()
+    ckpts = list(out.glob("*.ckpt"))
+    assert ckpts, "stage-1 checkpoints written"
+
+
+def test_stage2_cli_from_ckpt(tmp_path):
+    from uvc_tpu.cli.joint_train import main as joint_main
+    from uvc_tpu.cli.post_train import main as post_main
+    joint_main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--warmup_epochs", "1",
+        "--post_num_epochs", "1", "--warmup_steps", "1",
+        "--enable_patch_gating", "0",
+        "--output_dir", str(tmp_path), "--name", "s1",
+    ])
+    ckpt = sorted((tmp_path / "s1").glob("*.ckpt"))[0]
+    post_main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--enable_patch_gating", "0",
+        "--checkpoint_dir", str(ckpt), "--eval_every", "2",
+        "--output_dir", str(tmp_path), "--name", "s2",
+    ])
+    assert (tmp_path / "s2" / "metrics.jsonl").exists()

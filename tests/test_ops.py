@@ -1,0 +1,113 @@
+"""Unit tests for STE ops, least-k-sum, gumbel machinery.
+
+Semantics verified against hand-computed values and a small NumPy oracle of
+the reference LeastSsum autograd Function (UVC/uvc_utils.py:75-92).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvc_tpu.ops.stes import ste_ceil, ste_floor, least_k_sum, bottom_k_mask
+from uvc_tpu.ops.gumbel import (block_gating_distrib, gumbel_softmax,
+                                gumbel_topk_mask, softl0)
+
+
+def _oracle_least_s_sum(s, vec):
+    """NumPy oracle of the reference forward/backward."""
+    k = int(np.ceil(s))
+    srt = np.sort(vec)
+    if k + 1 <= len(vec):
+        return srt[:k].sum(), srt[k]
+    return vec.sum(), vec.max()
+
+
+def test_ste_ceil_value_and_grad():
+    x = jnp.array([0.2, 1.0, 2.7, -0.3])
+    np.testing.assert_allclose(ste_ceil(x), np.ceil(np.asarray(x)))
+    g = jax.grad(lambda v: jnp.sum(ste_ceil(v) * 3.0))(x)
+    np.testing.assert_allclose(g, 3.0 * np.ones(4))
+
+
+def test_ste_floor_grad():
+    g = jax.grad(lambda v: jnp.sum(ste_floor(v)))(jnp.array([1.5, 2.5]))
+    np.testing.assert_allclose(g, [1.0, 1.0])
+
+
+def test_least_k_sum_matches_oracle():
+    rng = np.random.default_rng(0)
+    vec = rng.random(7).astype(np.float32)
+    for s in [0.0, 0.4, 1.0, 2.3, 6.0, 6.5, 7.0, 9.0]:
+        val = float(least_k_sum(jnp.asarray(s), jnp.asarray(vec)))
+        grad = float(jax.grad(least_k_sum, argnums=0)(
+            jnp.asarray(s), jnp.asarray(vec)))
+        oval, ograd = _oracle_least_s_sum(s, vec)
+        assert abs(val - oval) < 1e-5, (s, val, oval)
+        assert abs(grad - ograd) < 1e-5, (s, grad, ograd)
+
+
+def test_least_k_sum_batched():
+    rng = np.random.default_rng(1)
+    scores = rng.random((3, 4, 5)).astype(np.float32)
+    s = np.array([[0.5, 1.5, 2.5, 5.0]] * 3, dtype=np.float32)
+    vals = np.asarray(least_k_sum(jnp.asarray(s), jnp.asarray(scores)))
+    for i in range(3):
+        for j in range(4):
+            oval, _ = _oracle_least_s_sum(s[i, j], scores[i, j])
+            assert abs(vals[i, j] - oval) < 1e-5
+
+
+def test_least_k_sum_no_grad_to_scores():
+    vec = jnp.array([3.0, 1.0, 2.0])
+    g = jax.grad(lambda v: least_k_sum(jnp.asarray(1.0), v))(vec)
+    np.testing.assert_allclose(g, np.zeros(3))
+
+
+def test_bottom_k_mask_static_and_traced():
+    scores = jnp.array([[3.0, 1.0, 2.0, 0.5]])
+    m = bottom_k_mask(scores, jnp.array([2]))
+    np.testing.assert_array_equal(np.asarray(m), [[False, True, False, True]])
+    m0 = bottom_k_mask(scores, jnp.array([0]))
+    assert not np.asarray(m0).any()
+    m4 = bottom_k_mask(scores, jnp.array([4]))
+    assert np.asarray(m4).all()
+
+
+def test_gumbel_softmax_hard_is_onehot_with_st_grad():
+    key = jax.random.PRNGKey(0)
+    logits = jnp.array([[0.0, 2.0], [1.0, -1.0]])
+    y = gumbel_softmax(key, logits, tau=0.5, hard=True)
+    np.testing.assert_allclose(np.asarray(y).sum(-1), [1.0, 1.0], atol=1e-6)
+    assert set(np.unique(np.asarray(y))) <= {0.0, 1.0}
+    g = jax.grad(lambda l: jnp.sum(
+        gumbel_softmax(key, l, tau=0.5, hard=True)[:, 1]))(logits)
+    assert np.abs(np.asarray(g)).sum() > 0  # straight-through grads flow
+
+
+def test_gumbel_topk_mask_counts():
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (4, 16))
+    mask = gumbel_topk_mask(key, logits, k=5, tau=1.0)
+    counts = np.asarray(mask).round().sum(-1)
+    # first token is forced on; k or k+1 tokens survive
+    assert ((counts == 5) | (counts == 6)).all()
+    assert np.asarray(mask)[:, 0].min() == 1.0
+
+
+def test_softl0_limits():
+    assert float(softl0(jnp.asarray(0.0), 0.1)) == 0.0
+    assert float(softl0(jnp.asarray(100.0), 0.1)) > 0.999
+
+
+def test_block_gating_distrib_modes():
+    key = jax.random.PRNGKey(0)
+    gating = jnp.tile(jnp.array([-1.0, 1.0]), (3, 1))
+    warm = block_gating_distrib(key, gating, use_gumbel=True,
+                                gumbel_hard=False, eps=0.1, warmup=True)
+    np.testing.assert_allclose(warm, 0.5 * np.ones((3, 2)))
+    soft = block_gating_distrib(key, gating, use_gumbel=False,
+                                gumbel_hard=False, eps=0.1, warmup=False)
+    np.testing.assert_allclose(np.asarray(soft).sum(-1), np.ones(3),
+                               atol=1e-6)
+    expected_keep = 1.0 / (1.0 + 0.1)  # g=1: 1/(1+eps)
+    np.testing.assert_allclose(soft[:, 1], expected_keep, rtol=1e-6)

@@ -1,0 +1,104 @@
+"""Multi-device SPMD tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from uvc_tpu.configs import get_config
+from uvc_tpu.compress.minimax import init_compression_state
+from uvc_tpu.compress.resource import build_macs_table
+from uvc_tpu.compress.state import MinimaxHParams
+from uvc_tpu.models import vit
+from uvc_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                   shard_params)
+from uvc_tpu.train.state import TrainHParams, create_train_state
+from uvc_tpu.train.step import build_stage1_step
+
+CFG = get_config("testing")
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(dp=4, mp=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_dp_step_matches_single_device():
+    """The same stage-1 step on a sharded batch must produce the same loss
+    and identical (replicated) minimax state as the single-device run."""
+    hp = MinimaxHParams(gating_interval=2, enable_patch_gating=0)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=2, mixup=0.0, cutmix=0.0,
+                       compute_dtype=jnp.float32)
+    table = build_macs_table(CFG)
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    teacher = vit.init_params(jax.random.PRNGKey(1), CFG)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (8, CFG.img_size, CFG.img_size, 3))
+    y = jax.random.randint(key, (8,), 0, CFG.num_classes)
+
+    step = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+
+    # single device
+    state1 = create_train_state(params, thp, init_compression_state(CFG, hp))
+    s1, m1 = step(state1, teacher, x, y, key, jnp.asarray(-1.0))
+
+    # 8-device data parallel
+    mesh = make_mesh()
+    with mesh:
+        statep = create_train_state(params, thp,
+                                    init_compression_state(CFG, hp))
+        statep = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), statep)
+        teacherp = replicate(teacher, mesh)
+        xp, yp = shard_batch((x, y), mesh)
+        keyp = jax.device_put(key, NamedSharding(mesh, P()))
+        s8, m8 = step(statep, teacherp, xp, yp, keyp, jnp.asarray(-1.0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(s1.cstate.s),
+                               np.asarray(s8.cstate.s), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.cstate.z),
+                               np.asarray(s8.cstate.z), atol=1e-6)
+    qk1 = np.asarray(s1.params["blocks"]["qkv"]["kernel"])
+    qk8 = np.asarray(s8.params["blocks"]["qkv"]["kernel"])
+    np.testing.assert_allclose(qk1, qk8, atol=2e-5)
+
+
+def test_tensor_parallel_forward_matches():
+    """TP-sharded forward must equal the replicated forward."""
+    cfg = get_config("deit_tiny_patch16_224").replace(img_size=32,
+                                                      depth=2)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["head"]["kernel"].shape) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+
+    def fwd(p, xb):
+        return vit.apply(p, xb, cfg, train=False).logits
+
+    ref = jax.jit(fwd)(params, x)
+
+    mesh = make_mesh(dp=4, mp=2)
+    with mesh:
+        pp = shard_params(params, mesh, mp=2)
+        xp, = (jax.device_put(x, NamedSharding(mesh, P("data"))),)
+        out = jax.jit(fwd)(pp, xp)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

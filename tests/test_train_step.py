@@ -1,0 +1,153 @@
+"""End-to-end smoke tests of the jitted stage-1 / stage-2 steps on the tiny
+config, plus directional checks on the minimax dynamics (the reference has
+no tests; published-log trajectories are the only oracle, so here we assert
+the qualitative invariants: duals grow while over budget, s/r stay in their
+boxes, resource moves toward the budget)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvc_tpu.configs import get_config
+from uvc_tpu.compress.minimax import init_compression_state
+from uvc_tpu.compress.resource import build_macs_table
+from uvc_tpu.compress.state import MinimaxHParams
+from uvc_tpu.models import vit
+from uvc_tpu.train.state import TrainHParams, create_train_state
+from uvc_tpu.train.step import (build_eval_step, build_stage1_step,
+                                build_stage2_step)
+
+CFG = get_config("testing")
+
+
+def _params(seed):
+    p = vit.init_params(jax.random.PRNGKey(seed), CFG)
+    # zero-init head (reference parity) blocks backbone grads; randomize it
+    # so gradient flow is testable
+    p["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(seed + 100), p["head"]["kernel"].shape) * 0.1
+    return p
+
+
+def _setup(hp=None, thp=None):
+    hp = hp or MinimaxHParams(gating_interval=2, zlr_schedule=(1,),
+                              enable_patch_gating=0)
+    thp = thp or TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                              warmup_steps=2, compute_dtype=jnp.float32)
+    table = build_macs_table(CFG)
+    params = _params(0)
+    teacher = _params(1)
+    cstate = init_compression_state(CFG, hp)
+    state = create_train_state(params, thp, cstate)
+    return hp, thp, table, state, teacher
+
+
+def _batch(b=4):
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (b, CFG.img_size, CFG.img_size, CFG.in_chans))
+    y = jax.random.randint(key, (b,), 0, CFG.num_classes)
+    return x, y
+
+
+def test_stage1_warmup_step_runs():
+    hp, thp, table, state, teacher = _setup()
+    step = build_stage1_step(CFG, table, hp, thp, warmup=True, donate=False)
+    x, y = _batch()
+    new_state, metrics = step(state, teacher, x, y, jax.random.PRNGKey(3),
+                              jnp.asarray(-1.0))
+    # second step: the lr warmup ramp starts at 0, so weights only move
+    # from step 1 onward
+    new_state, metrics = step(new_state, teacher, x, y,
+                              jax.random.PRNGKey(7), jnp.asarray(-1.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 < float(metrics["resource"]) <= 1.0 + 1e-6
+    # warmup: minimax primal/dual untouched
+    np.testing.assert_allclose(new_state.cstate.s, state.cstate.s)
+    np.testing.assert_allclose(new_state.cstate.z, state.cstate.z)
+    # weights did move
+    assert not np.allclose(new_state.params["blocks"]["qkv"]["kernel"],
+                           state.params["blocks"]["qkv"]["kernel"])
+    # gating frozen during warmup
+    np.testing.assert_allclose(new_state.params["block_gating"],
+                               state.params["block_gating"])
+
+
+def test_stage1_uvc_steps_move_duals_and_primal():
+    hp, thp, table, state, teacher = _setup()
+    step = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+    x, y = _batch()
+    key = jax.random.PRNGKey(4)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, teacher, x, y, sub, jnp.asarray(-1.0))
+    cs = state.cstate
+    # duals must have increased (resource starts at 1.0 > budget 0.5,
+    # least-norm sums are >= 0)
+    assert float(cs.z) > float(MinimaxHParams().z_init)
+    assert np.all(np.asarray(cs.y) >= MinimaxHParams().y_init)
+    # s/r in box
+    s_ub = np.array([CFG.num_heads, CFG.mlp_hidden])
+    assert np.all(np.asarray(cs.s) >= 0)
+    assert np.all(np.asarray(cs.s) <= s_ub)
+    assert np.all(np.asarray(cs.r) >= 0)
+    assert np.all(np.asarray(cs.r) <= CFG.head_size)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_stage1_resource_decreases_under_pressure():
+    """With a large dual step the FLOPs fraction must fall toward budget."""
+    hp = MinimaxHParams(gating_interval=2, zlr_schedule=(50,),
+                        slr=0.5, rlr=0.5, enable_patch_gating=0,
+                        use_gumbel=False)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=200,
+                       warmup_steps=2, compute_dtype=jnp.float32)
+    table = build_macs_table(CFG)
+    params = _params(0)
+    teacher = _params(1)
+    state = create_train_state(params, thp, init_compression_state(CFG, hp))
+    step = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+    x, y = _batch()
+    key = jax.random.PRNGKey(5)
+    first = None
+    for i in range(25):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, teacher, x, y, sub, jnp.asarray(-1.0))
+        if first is None:
+            first = float(metrics["resource"])
+    last = float(metrics["resource"])
+    assert last < first, (first, last)
+
+
+def test_stage2_step_runs_and_freezes_gating():
+    from uvc_tpu.compress.masks import build_masks
+    hp = MinimaxHParams(enable_patch_gating=0)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=2, compute_dtype=jnp.float32)
+    params = _params(0)
+    teacher = _params(1)
+    state = create_train_state(params, thp, None)
+    masks = build_masks(params, jnp.array([[0.0, 8.0]]), jnp.array([[2.0]]),
+                        CFG)
+    step = build_stage2_step(CFG, hp, thp, donate=False)
+    x, y = _batch()
+    new_state, metrics = step(state, teacher, masks, x, y,
+                              jax.random.PRNGKey(6))
+    assert np.isfinite(float(metrics["loss"]))
+    np.testing.assert_allclose(new_state.params["block_gating"],
+                               state.params["block_gating"])
+    assert not np.allclose(new_state.params["blocks"]["fc1"]["kernel"],
+                           state.params["blocks"]["fc1"]["kernel"])
+
+
+def test_eval_step_counts():
+    hp = MinimaxHParams(enable_patch_gating=0)
+    thp = TrainHParams(num_classes=CFG.num_classes,
+                       compute_dtype=jnp.float32)
+    params = _params(0)
+    step = build_eval_step(CFG, hp, thp, masked=False)
+    x, y = _batch(8)
+    m = step(params, None, x, y, jax.random.PRNGKey(0))
+    assert int(m["count"]) == 8
+    assert 0 <= int(m["correct"]) <= 8
+    assert np.isfinite(float(m["loss_sum"]))

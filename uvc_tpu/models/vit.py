@@ -1,0 +1,323 @@
+"""Pure-functional DeiT / ViT backbone, instrumented for UVC.
+
+TPU-native redesign of the reference ``DistilledVisionTransformer``
+(UVC/models/model_distilled.py:250-531):
+
+* parameters are a plain pytree with per-block tensors *stacked* along a
+  leading layer axis, so the block loop is one ``lax.scan`` — one compiled
+  block body regardless of depth, and trivially shardable with pjit;
+* the runtime MACs threading of the reference forward is gone — the FLOPs
+  table is analytic (uvc_tpu/compress/resource.py);
+* block gating / part gating / token selection / patch gating enter the
+  forward as explicit arguments (distributions and masks sampled by the
+  caller with threaded PRNG keys), never as mutable module attributes;
+* structured pruning masks multiply the *activations* feeding the attention
+  output projection and MLP fc2 — functionally identical to the reference's
+  ``weight * mask`` buffers (see uvc_tpu/compress/masks.py) with tiny
+  ``[L, D]`` / ``[L, d_ff]`` masks instead of weight-shaped buffers;
+* matmuls run in a configurable compute dtype (bfloat16 on TPU) with
+  float32 layer norms and softmax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uvc_tpu.configs import ViTConfig
+from uvc_tpu.ops.gumbel import gumbel_topk_mask
+
+
+# ---------------------------------------------------------------------------
+# initialization
+# ---------------------------------------------------------------------------
+
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _linear(key, fan_in, fan_out, dtype=jnp.float32):
+    wkey, _ = jax.random.split(key)
+    return {"kernel": _trunc_normal(wkey, (fan_in, fan_out), 0.02, dtype),
+            "bias": jnp.zeros((fan_out,), dtype)}
+
+
+def _layernorm(dim, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_params(key: jax.Array, cfg: ViTConfig, *,
+                patch_gating: bool = False,
+                dtype=jnp.float32) -> dict:
+    """Initialize a DeiT/ViT parameter pytree.
+
+    Layout (L = depth, D = embed_dim, F = mlp_hidden, N = num_patches,
+    T = prefix tokens):
+
+      patch_embed: kernel [P, P, C, D], bias [D]
+      cls_token [1, 1, D]; dist_token [1, 1, D] (if distilled)
+      pos_embed [1, N+T, D]
+      blocks: ln1/ln2 {scale,bias [L, D]}, qkv {kernel [L, D, 3D]},
+              proj {kernel [L, D, D]}, fc1 {kernel [L, D, F]},
+              fc2 {kernel [L, F, D]} (+ biases)
+      norm {scale, bias [D]}; head {kernel [D, classes]};
+      head_dist (if distilled)
+      block_gating [L, 2]   (init rows [-1, 1]: model_distilled.py:416)
+      attn_gating / mlp_gating [L, 2]  (part gating: :213-214)
+      token_scorer {kernel [D, 1]}     (the `gumbel` scorer: :409)
+      patch_gating [1, N, 1]           (mode 1 only; init 3.0 — the minimax
+                                        module overrides the model's zeros
+                                        with 3*ones: uvc_utils.py:152)
+    """
+    keys = iter(jax.random.split(key, 24))
+    d, l = cfg.embed_dim, cfg.depth
+    f = cfg.mlp_hidden
+    p = cfg.patch_size
+
+    def stack(fn):
+        return jax.vmap(fn)(jax.random.split(next(keys), l))
+
+    params = {
+        "patch_embed": {
+            "kernel": _trunc_normal(next(keys), (p, p, cfg.in_chans, d)),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "cls_token": _trunc_normal(next(keys), (1, 1, d)),
+        "pos_embed": _trunc_normal(next(keys), (1, cfg.seq_len, d)),
+        "blocks": {
+            "ln1": {"scale": jnp.ones((l, d)), "bias": jnp.zeros((l, d))},
+            "qkv": stack(lambda k: _linear(k, d, 3 * d)),
+            "proj": stack(lambda k: _linear(k, d, d)),
+            "ln2": {"scale": jnp.ones((l, d)), "bias": jnp.zeros((l, d))},
+            "fc1": stack(lambda k: _linear(k, d, f)),
+            "fc2": stack(lambda k: _linear(k, f, d)),
+        },
+        "norm": _layernorm(d),
+        # classifier head: zero-init like the reference
+        # (_init_vit_weights, model_distilled.py:71-74)
+        "head": {"kernel": jnp.zeros((d, cfg.num_classes)),
+                 "bias": jnp.zeros((cfg.num_classes,))},
+        "block_gating": jnp.tile(jnp.array([-1.0, 1.0]), (l, 1)),
+        "attn_gating": jnp.tile(jnp.array([-1.0, 1.0]), (l, 1)),
+        "mlp_gating": jnp.tile(jnp.array([-1.0, 1.0]), (l, 1)),
+        "token_scorer": _linear(next(keys), d, 1),
+    }
+    if cfg.distilled:
+        params["dist_token"] = _trunc_normal(next(keys), (1, 1, d))
+        params["head_dist"] = {"kernel": jnp.zeros((d, cfg.num_classes)),
+                               "bias": jnp.zeros((cfg.num_classes,))}
+    if patch_gating:
+        params["patch_gating"] = jnp.full((1, cfg.num_patches, 1), 3.0)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attention(x, blk, num_heads, scale, attn_mask_row, dtype):
+    b, n, d = x.shape
+    hs = d // num_heads
+    qkv = (x @ blk["qkv"]["kernel"].astype(dtype)
+           + blk["qkv"]["bias"].astype(dtype))
+    qkv = qkv.reshape(b, n, 3, num_heads, hs)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d)
+    if attn_mask_row is not None:
+        # structural head/dim pruning: identical to zeroing proj's input
+        # columns (reference masks W1 columns, uvc_utils.py:381-392).
+        ctx = ctx * attn_mask_row.astype(dtype)
+    out = (ctx @ blk["proj"]["kernel"].astype(dtype)
+           + blk["proj"]["bias"].astype(dtype))
+    return out
+
+
+def _mlp(x, blk, mlp_mask_row, dtype):
+    h = (x @ blk["fc1"]["kernel"].astype(dtype)
+         + blk["fc1"]["bias"].astype(dtype))
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dtype)
+    if mlp_mask_row is not None:
+        # structural MLP-unit pruning: identical to zeroing fc2's input
+        # columns + fc1's output rows (uvc_utils.py:394-401).
+        h = h * mlp_mask_row.astype(dtype)
+    out = (h @ blk["fc2"]["kernel"].astype(dtype)
+           + blk["fc2"]["bias"].astype(dtype))
+    return out
+
+
+def patch_embed(params: dict, x: jax.Array, cfg: ViTConfig,
+                dtype=jnp.float32) -> jax.Array:
+    """Non-overlapping conv patchify as reshape + one big matmul
+    (MXU-friendly; equivalent to Conv2d k=s=patch_size)."""
+    b = x.shape[0]
+    p = cfg.patch_size
+    g = cfg.img_size // p
+    # x: [B, H, W, C] (NHWC on TPU)
+    x = x.reshape(b, g, p, g, p, cfg.in_chans)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, g * g, p * p * cfg.in_chans)
+    kernel = params["patch_embed"]["kernel"].reshape(
+        p * p * cfg.in_chans, cfg.embed_dim)
+    return (x.astype(dtype) @ kernel.astype(dtype)
+            + params["patch_embed"]["bias"].astype(dtype))
+
+
+class ForwardOutput(NamedTuple):
+    logits: jax.Array
+    logits_kd: jax.Array       # distillation-head logits (== logits when
+                               # no dist head: model_distilled.py:523-525)
+    token_mask: Optional[jax.Array]
+
+
+def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
+          gating_distrib: Optional[jax.Array] = None,
+          attn_distrib: Optional[jax.Array] = None,
+          mlp_distrib: Optional[jax.Array] = None,
+          masks: Optional[Dict[str, jax.Array]] = None,
+          tau: float = -1.0,
+          patch_ratio: float = 0.9,
+          patch_gate_mode: int = 0,
+          patch_hard: bool = False,
+          jumping: bool = False,
+          rng: Optional[jax.Array] = None,
+          train: bool = False,
+          dtype=jnp.float32) -> ForwardOutput:
+    """Forward pass (reference forward_features + heads:
+    model_distilled.py:429-531).
+
+    Args:
+      gating_distrib: ``[L, 2]`` per-block (skip, keep) distribution; None
+        runs the ungated residual blocks.
+      attn_distrib / mlp_distrib: ``[L, 2]`` part-gating distributions
+        (reference Block part gating :218-234); None disables.
+      masks: structural keep masks {"attn": [L, D], "mlp": [L, F]} or None.
+      tau: token-selection temperature; > 0 enables learned gumbel top-k
+        token slimming keeping ``floor(patch_ratio * N)`` tokens (:446-456).
+      patch_gate_mode: 1 applies the sigmoid patch gate (:434-444).
+      jumping: accumulate every block's output into the final representation
+        (:502-506).
+      rng: PRNG key, required when tau > 0.
+    """
+    eps = cfg.layer_norm_eps
+    b = x.shape[0]
+    x = patch_embed(params, x, cfg, dtype)  # [B, N, D]
+
+    if patch_gate_mode == 1 and "patch_gating" in params:
+        gate = jax.nn.sigmoid(params["patch_gating"]).astype(dtype)
+        if patch_hard:
+            hard = (gate >= 0.5).astype(dtype)
+            hard = hard.at[:, 0].set(1.0)
+            x = x * hard
+        else:
+            x = x * gate
+
+    token_mask = None
+    if tau > 0:
+        if rng is None:
+            raise ValueError("tau > 0 (token selection) requires rng")
+        k = int(patch_ratio * cfg.num_patches)
+        scores = (x.astype(jnp.float32)
+                  @ params["token_scorer"]["kernel"].astype(jnp.float32)
+                  + params["token_scorer"]["bias"]).squeeze(-1)  # [B, N]
+        token_mask = gumbel_topk_mask(rng, scores, k, tau)
+        x = x * token_mask[..., None].astype(dtype)
+
+    tokens = [jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim)
+                               ).astype(dtype)]
+    if cfg.distilled:
+        tokens.append(jnp.broadcast_to(
+            params["dist_token"], (b, 1, cfg.embed_dim)).astype(dtype))
+    x = jnp.concatenate(tokens + [x], axis=1)
+    x = x + params["pos_embed"].astype(dtype)
+
+    x = transformer_encode(
+        params, x, cfg, gating_distrib=gating_distrib,
+        attn_distrib=attn_distrib, mlp_distrib=mlp_distrib, masks=masks,
+        jumping=jumping, dtype=dtype)
+
+    cls = x[:, 0].astype(jnp.float32)
+    logits = cls @ params["head"]["kernel"] + params["head"]["bias"]
+    if cfg.distilled:
+        dist = x[:, 1].astype(jnp.float32)
+        logits_kd = (dist @ params["head_dist"]["kernel"]
+                     + params["head_dist"]["bias"])
+    else:
+        logits_kd = logits
+    return ForwardOutput(logits=logits, logits_kd=logits_kd,
+                         token_mask=token_mask)
+
+
+def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
+                       gating_distrib=None, attn_distrib=None,
+                       mlp_distrib=None, masks=None, jumping: bool = False,
+                       dtype=jnp.float32) -> jax.Array:
+    """The gated block stack + final LN, shared by DeiT/ViT and T2T-ViT
+    (reference block loops: model_distilled.py:477-507,
+    T2TViT/models/t2t_vit.py:177-199)."""
+    eps = cfg.layer_norm_eps
+    scale = cfg.qk_scale if cfg.qk_scale is not None else cfg.head_size ** -0.5
+
+    def block_body(carry, inp):
+        h, accum = carry
+        blk, distrib, a_d, m_d, attn_m, mlp_m = inp
+
+        def run_block(z):
+            a_in = _layer_norm(z, blk["ln1"]["scale"], blk["ln1"]["bias"], eps)
+            a_out = _attention(a_in, blk, cfg.num_heads, scale, attn_m, dtype)
+            if a_d is not None:
+                z = a_d[0] * z + a_d[1] * a_out
+            else:
+                z = z + a_out
+            m_in = _layer_norm(z, blk["ln2"]["scale"], blk["ln2"]["bias"], eps)
+            m_out = _mlp(m_in, blk, mlp_m, dtype)
+            if m_d is not None:
+                z = m_d[0] * z + m_d[1] * m_out
+            else:
+                z = z + m_out
+            return z
+
+        out = run_block(h)
+        if distrib is not None:
+            h = (distrib[1].astype(dtype) * out
+                 + distrib[0].astype(dtype) * h)
+        else:
+            h = out
+        accum = accum + h
+        return (h, accum), None
+
+    xs = (params["blocks"], gating_distrib, attn_distrib, mlp_distrib,
+          None if masks is None else masks["attn"],
+          None if masks is None else masks["mlp"])
+    (x, accum), _ = jax.lax.scan(block_body,
+                                 (x, jnp.zeros_like(x)), xs)
+    if jumping:
+        x = accum
+
+    return _layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
+                       eps)
+
+
+def eval_logits(out: ForwardOutput, cfg: ViTConfig) -> jax.Array:
+    """Inference head fusion: average of cls and dist predictions for
+    distilled models (model_distilled.py:530-531)."""
+    if cfg.distilled:
+        return (out.logits + out.logits_kd) / 2.0
+    return out.logits

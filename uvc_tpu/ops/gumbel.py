@@ -1,0 +1,106 @@
+"""Gumbel-softmax machinery and the soft-L0 gate.
+
+TPU-native versions of the reference's stochastic gating primitives:
+
+* 2-way Gumbel-softmax for block / attn / mlp skip gating
+  (reference: F.gumbel_softmax at UVC/models/model_distilled.py:485 and
+  UVC/uvc_utils.py:446 — tau=0.5, eps ignored, optional hard ST).
+* hard top-k Gumbel token selection for patch slimming (reference custom
+  gumbel_softmax + scatter: UVC/models/model_distilled.py:21-63, applied at
+  :446-456).
+* softl0 ``g^2 / (g^2 + eps)`` relaxation (reference SoftL0:
+  UVC/uvc_optimizer.py:26-33 and the inline form at
+  UVC/models/model_distilled.py:487).
+
+All sampling threads explicit JAX PRNG keys — the replicated key makes the
+per-rank architecture updates bitwise consistent across the data-parallel
+mesh, which the reference only achieves by seeding determinism
+(SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gumbel_softmax(key: jax.Array, logits: jax.Array, tau: float = 1.0,
+                   hard: bool = False, axis: int = -1) -> jax.Array:
+    """Sample from the Gumbel-softmax / concrete distribution.
+
+    Matches ``torch.nn.functional.gumbel_softmax`` semantics (used by the
+    reference for block gating with tau=0.5): soft sample is
+    ``softmax((logits + G)/tau)``; hard returns a one-hot argmax with a
+    straight-through gradient.
+    """
+    g = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
+    y_soft = jax.nn.softmax((logits + g) / tau, axis=axis)
+    if not hard:
+        return y_soft
+    index = jnp.argmax(y_soft, axis=axis)
+    y_hard = jax.nn.one_hot(index, logits.shape[axis], axis=axis,
+                            dtype=logits.dtype)
+    return y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+
+
+def gumbel_topk_mask(key: jax.Array, logits: jax.Array, k: int,
+                     tau: float) -> jax.Array:
+    """Hard straight-through top-k token mask.
+
+    Reference semantics (UVC/models/model_distilled.py:36-63): perturb
+    ``log_softmax(logits)`` with Gumbel noise, keep the top-k tokens as a
+    0/1 mask, straight-through the soft distribution's gradient, then force
+    token 0 on (:453).
+
+    Args:
+      key: PRNG key.
+      logits: ``[B, N]`` token scores (pre log-softmax).
+      k: static number of tokens to keep.
+      tau: temperature (annealed 10 -> 0.1 over training in the reference:
+        joint_train.py:404-407 via get_tau).
+
+    Returns:
+      ``[B, N]`` mask with exactly ``k`` ones per row (straight-through).
+    """
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    g = jax.random.gumbel(key, log_probs.shape, dtype=log_probs.dtype)
+    y_soft = jax.nn.softmax((log_probs + g) / tau, axis=-1)
+    # top-k hard mask with static k: threshold at the k-th largest value.
+    kth = jax.lax.top_k(y_soft, k)[0][..., -1:]
+    y_hard = (y_soft >= kth).astype(y_soft.dtype)
+    mask = y_hard + y_soft - jax.lax.stop_gradient(y_soft)
+    # always keep the first token (reference: token_mask[:, 0] = 1)
+    return mask.at[..., 0].set(1.0)
+
+
+def softl0(g: jax.Array, eps: jax.Array | float) -> jax.Array:
+    """Soft-L0 gate ``g^2 / (g^2 + eps)`` (reference SoftL0 without the
+    sqrt — the resource fn uses the un-sqrt'd form at uvc_utils.py:448-449).
+    """
+    g2 = g * g
+    return g2 / (g2 + eps)
+
+
+def block_gating_distrib(key: jax.Array, gating: jax.Array, *,
+                         use_gumbel: bool, gumbel_hard: bool,
+                         eps: jax.Array | float,
+                         warmup: bool) -> jax.Array:
+    """Per-layer keep/skip distribution for block gating.
+
+    Args:
+      gating: ``[L, 2]`` skip-gating logits (init [-1, 1]).
+
+    Returns:
+      ``[L, 2]`` distribution rows ``(skip_prob, keep_prob)``.
+
+    Mirrors the three modes of the reference block loop
+    (UVC/models/model_distilled.py:480-493): warmup forces (0.5, 0.5);
+    use_gumbel samples a tau=0.5 Gumbel-softmax per layer; otherwise the
+    softl0 relaxation of the keep logit.
+    """
+    if warmup:
+        return jnp.full_like(gating, 0.5)
+    if use_gumbel:
+        return gumbel_softmax(key, gating, tau=0.5, hard=gumbel_hard, axis=-1)
+    keep = softl0(gating[:, 1], eps)
+    return jnp.stack([1.0 - keep, keep], axis=-1)

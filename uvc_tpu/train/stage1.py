@@ -1,0 +1,216 @@
+"""Stage-1 driver: joint weight + architecture training under a FLOPs budget.
+
+Functional equivalent of the reference ``joint_train.py`` main/train loop
+(:249-528, :683-1041), restructured around one jitted SPMD step:
+
+  epoch loop (host):
+    - phase select (warmup epochs <= warmup_epochs: frozen gating,
+      distrib=(.5,.5), gumbel_hard — joint_train.py:344-360)
+    - zlr staircase per epoch (:441-442, :999-1005)
+    - eps decay per UVC epoch (:385-386)
+    - per-batch: jitted stage-1 step (forward+KD+backward+AdamW+prox+
+      minimax updates)
+    - epoch end: masks rebuild, sparsity + Expectation/Real FLOPs report
+      (:500-509), validation (:498), checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvc_tpu.configs import ViTConfig
+from uvc_tpu.compress.masks import (build_masks, count_remaining_params,
+                                    total_maskable_params)
+from uvc_tpu.compress.minimax import init_compression_state
+from uvc_tpu.compress.resource import build_macs_table, flops_fraction
+from uvc_tpu.compress.scores import group_scores
+from uvc_tpu.compress.state import MinimaxHParams
+from uvc_tpu.data.pipeline import normalize_on_device
+from uvc_tpu.models import vit
+from uvc_tpu.ops.gumbel import block_gating_distrib
+from uvc_tpu.ops.stes import ste_ceil
+from uvc_tpu.train.state import TrainHParams, TrainState, create_train_state
+from uvc_tpu.train.step import build_eval_step, build_stage1_step
+from uvc_tpu.utils.checkpoint import save_checkpoint
+from uvc_tpu.utils.logging import AverageMeter, MetricLogger
+from uvc_tpu.utils.schedules import get_tau
+
+
+def expectation_and_real_flops(params, cstate, cfg: ViTConfig,
+                               hp: MinimaxHParams, table, key):
+    """Epoch-end report (joint_train.py:509): one stochastic ("expectation")
+    and one hard-gated ("real") resource evaluation."""
+    _, scores2, _ = group_scores(params["blocks"], cfg.num_heads)
+    gating = params.get("block_gating")
+
+    def frac(hard):
+        if hp.enable_block_gating and gating is not None:
+            d = block_gating_distrib(key, gating, use_gumbel=hp.use_gumbel,
+                                     gumbel_hard=hard, eps=cstate.eps,
+                                     warmup=False)[:, 1]
+        else:
+            d = 1.0
+        return float(flops_fraction(ste_ceil(cstate.s), ste_ceil(cstate.r),
+                                    scores2, d, table, cfg))
+
+    return frac(False), frac(True)
+
+
+def run_validation(eval_step, params, masks, loader, logger,
+                   step: int) -> float:
+    correct = 0
+    loss_sum = 0.0
+    count = 0
+    key = jax.random.PRNGKey(0)
+    for x, y in loader:
+        key, sub = jax.random.split(key)
+        xb = normalize_on_device(jnp.asarray(x))
+        m = eval_step(params, masks, xb, jnp.asarray(y), sub)
+        correct += int(m["correct"])
+        loss_sum += float(m["loss_sum"])
+        count += int(m["count"])
+    acc = correct / max(1, count)
+    logger.info(f"Validation @ step {step}: loss "
+                f"{loss_sum / max(1, count):.5f} acc {acc * 100:.3f}%")
+    logger.log_scalars(step, {"test/accuracy": acc,
+                              "test/loss": loss_sum / max(1, count)})
+    return acc
+
+
+@dataclasses.dataclass
+class Stage1Result:
+    state: TrainState
+    masks: Any
+    best_acc: float
+
+
+def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
+               train_loader, test_loader, params=None, teacher_params=None,
+               seed: int = 42, output_dir: str = "output",
+               name: str = "debug", log_interval: int = 2000,
+               eval_each_epoch: bool = True, save_checkpoints: bool = True,
+               logger: Optional[MetricLogger] = None) -> Stage1Result:
+    logger = logger or MetricLogger(output_dir, name)
+    table = build_macs_table(cfg)
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+
+    if params is None:
+        params = vit.init_params(
+            k_init, cfg, patch_gating=hp.enable_patch_gating == 1)
+    if teacher_params is None:
+        teacher_params = params  # reference defaults the teacher to the
+        # same pretrained weights (joint_train.py:949-952)
+
+    cstate = init_compression_state(cfg, hp)
+    state = create_train_state(params, thp, cstate)
+    total_param = float(total_maskable_params(params))
+    logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
+                f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")
+
+    steps_per_epoch = len(train_loader)
+    t_total = steps_per_epoch * thp.num_epochs
+    warm_step = build_stage1_step(cfg, table, hp, thp, warmup=True)
+    uvc_step = build_stage1_step(cfg, table, hp, thp, warmup=False)
+    eval_step = build_eval_step(cfg, hp, thp, masked=False)
+
+    best_acc = 0.0
+    global_step = 0
+    losses = AverageMeter()
+    masks = None
+
+    for epoch in range(1, thp.num_epochs + 1):
+        warmup = epoch <= thp.warmup_epochs
+        stage = "Warm Up" if warmup else "UVC Train"
+        step_fn = warm_step if warmup else uvc_step
+        train_loader.set_epoch(epoch)
+
+        # masks rebuild + sparsity report at epoch start
+        # (joint_train.py:377-382)
+        masks = build_masks(state.params, ste_ceil(state.cstate.s),
+                            ste_ceil(state.cstate.r), cfg)
+        remained = float(count_remaining_params(state.params, masks, cfg))
+        logger.info("=" * 60)
+        logger.info(f"Start [Epoch {epoch}] at Stage {stage}")
+        logger.info(f"[Initial Sparsity|Epoch {epoch}] Parameter size: "
+                    f"{remained / 1e6:.2f}M / {total_param / 1e6:.2f}M = "
+                    f"{remained / total_param * 100:.2f}%")
+
+        cstate = state.cstate
+        if not warmup:
+            # eps decay (joint_train.py:385-386, uvc_utils.py:290-293) and
+            # zlr staircase (:441-442)
+            cstate = cstate.replace(
+                eps=cstate.eps * hp.eps_decay,
+                zlr=jnp.asarray(hp.zlr_for_epoch(epoch, thp.num_epochs),
+                                jnp.float32))
+            state = state.replace(cstate=cstate)
+
+        t0 = time.time()
+        for bi, (x, y) in enumerate(train_loader):
+            key, sub = jax.random.split(key)
+            tau = get_tau(10.0, 0.1, global_step, t_total) \
+                if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
+            xb = normalize_on_device(jnp.asarray(x))
+            state, metrics = step_fn(state, teacher_params, xb,
+                                     jnp.asarray(y), sub, tau)
+            global_step += 1
+            if global_step % 50 == 0:
+                losses.update(float(metrics["loss"]))
+                logger.log_scalars(global_step, {
+                    "train/loss": metrics["loss"],
+                    "train/lr": metrics["lr"],
+                    "resource": metrics["resource"],
+                })
+            if global_step % log_interval == 0 and not warmup:
+                logger.log_series("s", global_step, state.cstate.s)
+                logger.log_series("r", global_step, state.cstate.r)
+                if hp.enable_block_gating:
+                    logger.log_series("gating", global_step,
+                                      state.params["block_gating"])
+        dt = time.time() - t0
+        imgs = steps_per_epoch * train_loader.batch_size
+        logger.info(f"[Epoch {epoch}] {dt:.1f}s "
+                    f"({imgs / max(dt, 1e-9):.1f} img/s) "
+                    f"loss {losses.avg:.4f}")
+        losses.reset()
+
+        masks = build_masks(state.params, ste_ceil(state.cstate.s),
+                            ste_ceil(state.cstate.r), cfg)
+        remained = float(count_remaining_params(state.params, masks, cfg))
+        key, k_rep = jax.random.split(key)
+        exp_f, real_f = expectation_and_real_flops(
+            state.params, state.cstate, cfg, hp, table, k_rep)
+        logger.info(f"[Validation Sparsity|Step {global_step}|Epoch {epoch}]")
+        logger.info(f"Parameter size: {remained / 1e6:.2f}M / "
+                    f"{total_param / 1e6:.2f}M = "
+                    f"{remained / total_param * 100:.2f}%")
+        logger.info(f"Expectation FLOPs: {exp_f * 100:.4f}% "
+                    f"Real FLOPs: {real_f * 100:.4f}%")
+        logger.log_scalars(global_step, {
+            "train/param_size": remained / total_param,
+            "train/flops_expectation": exp_f,
+            "train/flops_real": real_f,
+        })
+
+        if eval_each_epoch and test_loader is not None:
+            acc = run_validation(eval_step, state.params, masks, test_loader,
+                                 logger, global_step)
+            best_acc = max(best_acc, acc)
+
+        if save_checkpoints:
+            save_checkpoint(
+                f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
+                {"params": state.params,
+                 "cstate": {"s": state.cstate.s, "r": state.cstate.r,
+                            "y": state.cstate.y, "p": state.cstate.p,
+                            "z": state.cstate.z, "eps": state.cstate.eps},
+                 "masks": masks, "epoch": epoch, "step": global_step})
+
+    return Stage1Result(state=state, masks=masks, best_acc=best_acc)

@@ -1,0 +1,97 @@
+"""Stage-2 driver: mask-frozen distillation fine-tuning.
+
+Functional equivalent of the reference ``post_train.py`` (:270-403, :406-688):
+loads a stage-1 checkpoint (params + masks + frozen gating), linearly scales
+the learning rate by global batch / 512 (:297-302), and fine-tunes with soft
+distillation while the architecture stays fixed.  Mask enforcement is
+structural (activation masking in the forward) rather than the reference's
+per-step ``weight *= mask`` (:357-360) — functionally identical, zero
+overhead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from uvc_tpu.configs import ViTConfig
+from uvc_tpu.compress.state import MinimaxHParams
+from uvc_tpu.data.pipeline import normalize_on_device
+from uvc_tpu.train.state import TrainHParams, create_train_state
+from uvc_tpu.train.stage1 import run_validation
+from uvc_tpu.train.step import build_eval_step, build_stage2_step
+from uvc_tpu.utils.checkpoint import save_checkpoint
+from uvc_tpu.utils.logging import AverageMeter, MetricLogger
+
+
+@dataclasses.dataclass
+class Stage2Result:
+    state: Any
+    best_acc: float
+
+
+def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
+               params, masks, teacher_params=None, train_loader,
+               test_loader, seed: int = 42, output_dir: str = "output",
+               name: str = "post", eval_every: int = 1000,
+               world_batch: Optional[int] = None,
+               save_checkpoints: bool = True,
+               logger: Optional[MetricLogger] = None) -> Stage2Result:
+    logger = logger or MetricLogger(output_dir, name)
+    if teacher_params is None:
+        teacher_params = params
+
+    # linear lr scaling: lr * global_batch / 512 (post_train.py:297-302)
+    if world_batch is None:
+        world_batch = train_loader.batch_size * jax.process_count()
+    thp = dataclasses.replace(
+        thp, learning_rate=thp.learning_rate * world_batch / 512.0)
+
+    state = create_train_state(params, thp, None)
+    step_fn = build_stage2_step(cfg, hp, thp)
+    eval_step = build_eval_step(cfg, hp, thp, masked=True)
+
+    key = jax.random.PRNGKey(seed)
+    best_acc = 0.0
+    global_step = 0
+    losses = AverageMeter()
+
+    logger.info("***** [Stage 2] Post Training *****")
+    for epoch in range(thp.num_epochs):
+        train_loader.set_epoch(epoch)
+        t0 = time.time()
+        for x, y in train_loader:
+            key, sub = jax.random.split(key)
+            xb = normalize_on_device(jnp.asarray(x))
+            state, metrics = step_fn(state, teacher_params, masks, xb,
+                                     jnp.asarray(y), sub)
+            global_step += 1
+            if global_step % 50 == 0:
+                losses.update(float(metrics["loss"]))
+                logger.log_scalars(global_step, {
+                    "train/loss": metrics["loss"],
+                    "train/lr": metrics["lr"]})
+            if (eval_every and global_step % eval_every == 0
+                    and test_loader is not None):
+                acc = run_validation(eval_step, state.params, masks,
+                                     test_loader, logger, global_step)
+                if acc > best_acc:
+                    best_acc = acc
+                    if save_checkpoints:
+                        save_checkpoint(
+                            f"{logger.dir}/{cfg.name}_best.ckpt",
+                            {"params": state.params, "masks": masks,
+                             "step": global_step, "acc": acc})
+        dt = time.time() - t0
+        logger.info(f"[Stage2 Epoch {epoch}] {dt:.1f}s loss {losses.avg:.4f}")
+        losses.reset()
+
+    if test_loader is not None:
+        acc = run_validation(eval_step, state.params, masks, test_loader,
+                             logger, global_step)
+        best_acc = max(best_acc, acc)
+    return Stage2Result(state=state, best_acc=best_acc)

@@ -1,0 +1,88 @@
+"""Train state and training hyperparameters."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from uvc_tpu.compress.state import CompressionState
+from uvc_tpu.utils.schedules import (warmup_cosine_schedule,
+                                     warmup_linear_schedule)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainHParams:
+    """Weight-training hyperparameters (CLI parity: joint_train.py:708-746,
+    784-806)."""
+
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    max_grad_norm: float = 1.0
+    warmup_steps: int = 500
+    t_total: int = 10000
+    decay_type: str = "cosine"          # cosine | linear
+    num_epochs: int = 20
+    warmup_epochs: int = 5              # UVC gating warmup (epochs)
+    warmup_lr: float = 1e-4
+    # mixup family
+    mixup: float = 0.8
+    cutmix: float = 1.0
+    mixup_prob: float = 0.8
+    mixup_switch_prob: float = 0.5
+    smoothing: float = 0.1
+    num_classes: int = 1000
+    # distillation
+    distillation_type: Optional[str] = "soft"   # none | soft | hard
+    distillation_alpha: float = 0.5
+    distillation_tau: float = 1.0
+    # numerics
+    compute_dtype: Any = jnp.bfloat16
+
+    def lr_schedule(self):
+        if self.decay_type == "cosine":
+            return warmup_cosine_schedule(self.learning_rate,
+                                          self.warmup_steps, self.t_total)
+        return warmup_linear_schedule(self.learning_rate, self.warmup_steps,
+                                      self.t_total)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    cstate: Optional[CompressionState] = None
+
+
+def make_weight_optimizer(thp: TrainHParams) -> optax.GradientTransformation:
+    """AdamW with the warmup-cosine/linear schedule.
+
+    Torch parity: AdamW(lr, wd=0.05) over *all* parameters (including
+    norms/biases/tokens — torch applies decoupled wd uniformly:
+    joint_train.py:271).  Global-norm clipping happens in the train step
+    *before* this transform so the clipped gating gradient can also feed the
+    minimax update, matching the reference ordering (clip at
+    joint_train.py:428, gating grad read at uvc_optimizer.py:90).
+    """
+    return optax.adamw(thp.lr_schedule(), b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=thp.weight_decay)
+
+
+def clip_global_norm(grads, max_norm: float):
+    """torch clip_grad_norm_ semantics: scale all grads by
+    max_norm/total_norm when total exceeds max_norm."""
+    total = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (total + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads), total
+
+
+def create_train_state(params, thp: TrainHParams,
+                       cstate: Optional[CompressionState] = None
+                       ) -> TrainState:
+    tx = make_weight_optimizer(thp)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), cstate=cstate)

@@ -1,0 +1,238 @@
+"""Jitted SPMD train / eval steps for both UVC stages.
+
+One compiled step fuses everything the reference does across many separate
+host-driven phases per batch (joint_train.py:395-488):
+
+  mixup -> student forward (gating + token selection) -> teacher forward ->
+  KD loss -> backward -> grad clip -> AdamW -> prox -> s/r primal steps ->
+  gating interval step -> dual ascent -> projection
+
+Data parallelism: the step is written for jit with sharded batch inputs —
+XLA inserts the gradient all-reduce over the ICI mesh automatically (the
+reference's apex DDP + NCCL: joint_train.py:292-293).  The architecture
+state is replicated; because the whole update is inside the same program,
+every device computes bitwise-identical minimax updates (the reference
+relies on seed determinism for this — SURVEY.md §2.4).
+
+Stage 2 (post_train.py:270-403): masks enforced every step, gating frozen
+to hard decisions, soft distillation fine-tuning.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uvc_tpu.configs import ViTConfig
+from uvc_tpu.compress.masks import build_masks
+from uvc_tpu.compress.minimax import arch_update
+from uvc_tpu.compress.resource import MacsTable
+from uvc_tpu.compress.state import MinimaxHParams
+from uvc_tpu.data.mixup import mixup_cutmix
+from uvc_tpu.distill.losses import (distillation_loss,
+                                    label_smoothing_cross_entropy,
+                                    soft_target_cross_entropy)
+from uvc_tpu.models import vit
+from uvc_tpu.ops.gumbel import block_gating_distrib
+from uvc_tpu.train.state import (TrainHParams, TrainState, clip_global_norm,
+                                 make_weight_optimizer)
+
+
+def _base_loss(logits, targets, labels, thp: TrainHParams):
+    """SoftTargetCE when mixup is active, else label-smoothing CE
+    (joint_train.py:938-944)."""
+    if thp.mixup > 0 or thp.cutmix > 0:
+        return soft_target_cross_entropy(logits, targets)
+    if thp.smoothing > 0:
+        return label_smoothing_cross_entropy(logits, labels, thp.smoothing)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def _teacher_logits(teacher_params, x, cfg: ViTConfig, dtype):
+    """Dense teacher forward in eval mode (losses.py:47-49; the teacher has
+    gating disabled and its init [-1,1] logits always keep every block)."""
+    out = vit.apply(teacher_params, x, cfg, dtype=dtype, train=False)
+    return vit.eval_logits(out, cfg)
+
+
+def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
+                      thp: TrainHParams, *, warmup: bool,
+                      donate: bool = True):
+    """Returns jitted ``step(state, teacher_params, x, labels, key, tau)``.
+
+    ``warmup`` selects the phase (epochs <= warmup_epochs force
+    distrib=(.5,.5), freeze gating, gumbel_hard=1: joint_train.py:344-360);
+    two compiled variants exist, one per phase.
+    """
+    tx = make_weight_optimizer(thp)
+    lr_fn = thp.lr_schedule()
+    gumbel_hard = warmup  # joint_train.py:347, :359
+    dtype = thp.compute_dtype
+
+    def step(state: TrainState, teacher_params, x, labels, key, tau):
+        k_mix, k_gate, k_part1, k_part2, k_tok, k_arch = \
+            jax.random.split(key, 6)
+
+        if thp.mixup > 0 or thp.cutmix > 0:
+            x, targets = mixup_cutmix(
+                k_mix, x, labels, num_classes=thp.num_classes,
+                mixup_alpha=thp.mixup, cutmix_alpha=thp.cutmix,
+                prob=thp.mixup_prob, switch_prob=thp.mixup_switch_prob,
+                smoothing=thp.smoothing)
+        else:
+            targets = jax.nn.one_hot(labels, thp.num_classes)
+
+        def loss_fn(params):
+            gating_distrib = None
+            if hp.enable_block_gating:
+                gating_distrib = block_gating_distrib(
+                    k_gate, params["block_gating"],
+                    use_gumbel=hp.use_gumbel, gumbel_hard=gumbel_hard,
+                    eps=state.cstate.eps, warmup=warmup)
+            attn_d = mlp_d = None
+            if hp.enable_part_gating:
+                attn_d = block_gating_distrib(
+                    k_part1, params["attn_gating"], use_gumbel=True,
+                    gumbel_hard=gumbel_hard, eps=state.cstate.eps,
+                    warmup=False)
+                mlp_d = block_gating_distrib(
+                    k_part2, params["mlp_gating"], use_gumbel=True,
+                    gumbel_hard=gumbel_hard, eps=state.cstate.eps,
+                    warmup=False)
+            out = vit.apply(
+                params, x, cfg,
+                gating_distrib=gating_distrib,
+                attn_distrib=attn_d, mlp_distrib=mlp_d,
+                tau=tau if hp.enable_patch_gating == 2 else -1.0,
+                patch_ratio=hp.patch_ratio,
+                patch_gate_mode=hp.enable_patch_gating,
+                jumping=hp.enable_jumping,
+                rng=k_tok, train=True, dtype=dtype)
+            base = _base_loss(out.logits, targets, labels, thp)
+            t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
+            loss = distillation_loss(
+                base, out.logits_kd, t_logits,
+                kind=thp.distillation_type, alpha=thp.distillation_alpha,
+                tau=thp.distillation_tau)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+
+        if warmup and "block_gating" in grads:
+            # block_skip_gating.requires_grad=False during warmup
+            # (joint_train.py:349)
+            grads = dict(grads)
+            grads["block_gating"] = jnp.zeros_like(grads["block_gating"])
+
+        grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        gating_loss_grad = grads.get("block_gating") \
+            if hp.enable_block_gating else None
+        params, cstate, arch_metrics = arch_update(
+            params, state.cstate, key=k_arch, step=state.step,
+            gating_loss_grad=gating_loss_grad,
+            main_lr=lr_fn(state.step), hp=hp, cfg=cfg, table=table,
+            warmup=warmup, gumbel_hard=gumbel_hard)
+
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "lr": lr_fn(state.step), **arch_metrics}
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state, cstate=cstate)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
+                      *, donate: bool = True):
+    """Mask-frozen distillation fine-tune step (post_train.py:270-403).
+
+    Masks are enforced by activation masking every step (equivalent to the
+    reference's per-step ``weight *= mask``: post_train.py:357-360); block
+    gating is the frozen hard decision ``keep = g1 > g0`` (the stage-2 model
+    runs the ungated branch of the block loop: model_distilled.py:496-500).
+    """
+    tx = make_weight_optimizer(thp)
+    lr_fn = thp.lr_schedule()
+    dtype = thp.compute_dtype
+
+    def step(state: TrainState, teacher_params, masks, x, labels, key):
+        k_mix, _ = jax.random.split(key)
+        if thp.mixup > 0 or thp.cutmix > 0:
+            x, targets = mixup_cutmix(
+                k_mix, x, labels, num_classes=thp.num_classes,
+                mixup_alpha=thp.mixup, cutmix_alpha=thp.cutmix,
+                prob=thp.mixup_prob, switch_prob=thp.mixup_switch_prob,
+                smoothing=thp.smoothing)
+        else:
+            targets = jax.nn.one_hot(labels, thp.num_classes)
+
+        def loss_fn(params):
+            g = params["block_gating"]
+            keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
+            gating_distrib = jnp.stack([1.0 - keep, keep], axis=-1)
+            gating_distrib = jax.lax.stop_gradient(gating_distrib)
+            out = vit.apply(params, x, cfg,
+                            gating_distrib=gating_distrib, masks=masks,
+                            train=True, dtype=dtype)
+            base = _base_loss(out.logits, targets, labels, thp)
+            t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
+            return distillation_loss(
+                base, out.logits_kd, t_logits,
+                kind=thp.distillation_type, alpha=thp.distillation_alpha,
+                tau=thp.distillation_tau)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = dict(grads)
+        # gating frozen (post_train.py:312, 342)
+        grads["block_gating"] = jnp.zeros_like(grads["block_gating"])
+        grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+
+        metrics = {"loss": loss, "grad_norm": grad_norm,
+                   "lr": lr_fn(state.step)}
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
+                    thp: TrainHParams, *, masked: bool):
+    """Validation step (joint_train.py valid :199-246): hard-gated forward,
+    top-1 correct count + summed CE loss, optionally with masks applied.
+
+    Token selection at eval uses tau=1 when patch mode 2 is on
+    (joint_train.py:216-219)."""
+    dtype = thp.compute_dtype
+
+    def step(params, masks, x, labels, key):
+        gating_distrib = None
+        if hp.enable_block_gating:
+            g = params["block_gating"]
+            keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
+            gating_distrib = jnp.stack([1.0 - keep, keep], axis=-1)
+        tau = 1.0 if hp.enable_patch_gating == 2 else -1.0
+        out = vit.apply(params, x, cfg,
+                        gating_distrib=gating_distrib,
+                        masks=masks if masked else None,
+                        tau=tau, patch_ratio=hp.patch_ratio,
+                        patch_gate_mode=hp.enable_patch_gating,
+                        patch_hard=True,
+                        rng=key, train=False, dtype=dtype)
+        logits = vit.eval_logits(out, cfg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        correct = (jnp.argmax(logits, axis=-1) == labels)
+        return {"correct": jnp.sum(correct), "loss_sum": jnp.sum(nll),
+                "count": jnp.asarray(labels.shape[0], jnp.int32)}
+
+    return jax.jit(step)
