@@ -14,3 +14,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment may pin jax to a real accelerator at interpreter startup
+# (before conftest runs), in which case the env var above is too late —
+# jax.config is the authoritative override and wins over the startup pin.
+import jax
+
+jax.config.update("jax_platforms", "cpu")

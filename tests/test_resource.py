@@ -116,5 +116,10 @@ def test_t2t_table_builds():
     table = build_macs_table(get_config("t2t_vit_14"))
     assert table.block.shape == (14, 6)
     assert table.embed > 0
-    # t2t_vit_14 dense ~ a few GFLOPs
-    assert 2e9 < table.dense_flops < 8e9
+    # dense_flops is 2*MACs (calc_flops returns 2*MACs: uvc_utils.py:462);
+    # t2t_vit_14 is ~4.8G MACs (paper reports ~5.2G counting the backbone
+    # only), so dense FLOPs land near 9.5G
+    macs = table.dense_flops / 2.0
+    assert 4e9 < macs < 6e9
+    np.testing.assert_allclose(
+        table.dense_flops, 2.0 * (table.embed + table.block.sum()), rtol=1e-6)

@@ -133,6 +133,9 @@ def test_stage2_step_runs_and_freezes_gating():
     x, y = _batch()
     new_state, metrics = step(state, teacher, masks, x, y,
                               jax.random.PRNGKey(6))
+    # second step: the lr warmup ramp starts at 0 at step 0
+    new_state, metrics = step(new_state, teacher, masks, x, y,
+                              jax.random.PRNGKey(8))
     assert np.isfinite(float(metrics["loss"]))
     np.testing.assert_allclose(new_state.params["block_gating"],
                                state.params["block_gating"])

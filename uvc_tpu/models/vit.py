@@ -230,9 +230,14 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
             x = x * gate
 
     token_mask = None
-    if tau > 0:
+    # token selection must be a *static* decision (tau is traced when the
+    # schedule anneals it inside jit: joint_train.py:399-407) — mode 2 turns
+    # it on; a concrete positive tau also works for direct callers.
+    token_select = (patch_gate_mode == 2
+                    or (isinstance(tau, (int, float)) and tau > 0))
+    if token_select:
         if rng is None:
-            raise ValueError("tau > 0 (token selection) requires rng")
+            raise ValueError("token selection requires rng")
         k = int(patch_ratio * cfg.num_patches)
         scores = (x.astype(jnp.float32)
                   @ params["token_scorer"]["kernel"].astype(jnp.float32)

@@ -105,11 +105,14 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         params = vit.init_params(
             k_init, cfg, patch_gating=hp.enable_patch_gating == 1)
     if teacher_params is None:
-        teacher_params = params  # reference defaults the teacher to the
-        # same pretrained weights (joint_train.py:949-952)
+        # reference defaults the teacher to the same pretrained weights
+        # (joint_train.py:949-952)
+        teacher_params = params
 
     cstate = init_compression_state(cfg, hp)
-    state = create_train_state(params, thp, cstate)
+    # copy params into the (donated) train state: the caller keeps ownership
+    # of its buffers — they routinely alias teacher_params and outlive stage 1
+    state = create_train_state(jax.tree.map(jnp.copy, params), thp, cstate)
     total_param = float(total_maskable_params(params))
     logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
                 f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")

@@ -51,7 +51,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     thp = dataclasses.replace(
         thp, learning_rate=thp.learning_rate * world_batch / 512.0)
 
-    state = create_train_state(params, thp, None)
+    # copy params into the (donated) train state: callers keep their buffers
+    state = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
     step_fn = build_stage2_step(cfg, hp, thp)
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 

@@ -130,6 +130,12 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
 
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if warmup:
+            # zeroing the grad is not enough: AdamW's decoupled weight decay
+            # would still move the frozen gating logits — zero the update
+            # (torch skips requires_grad=False params entirely)
+            updates = dict(updates)
+            updates["block_gating"] = jnp.zeros_like(updates["block_gating"])
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
         gating_loss_grad = grads.get("block_gating") \
@@ -194,6 +200,9 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
         grads["block_gating"] = jnp.zeros_like(grads["block_gating"])
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # weight decay would otherwise still move the frozen gating logits
+        updates = dict(updates)
+        updates["block_gating"] = jnp.zeros_like(updates["block_gating"])
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
         metrics = {"loss": loss, "grad_norm": grad_norm,
