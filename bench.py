@@ -31,7 +31,9 @@ def main():
 
     cfg = get_config("deit_small_patch16_224")
     hp = MinimaxHParams(enable_patch_gating=2, gating_interval=100)
-    on_tpu = jax.devices()[0].platform == "tpu"
+    # the TPU may surface under a plugin platform name (e.g. "axon"), so
+    # detect "accelerator" as anything that is not host CPU
+    on_tpu = jax.devices()[0].platform != "cpu"
     batch = 256 if on_tpu else 16
     steps = 30 if on_tpu else 3
     thp = TrainHParams(num_classes=1000, t_total=10000, warmup_steps=500,
@@ -47,15 +49,22 @@ def main():
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
     y = jnp.zeros((batch,), jnp.int32)
 
-    # warmup/compile
+    # warmup/compile; device_get (not block_until_ready) — only a D2H fetch
+    # reliably drains the pipeline on remote-execution platforms
     state, m = step(state, teacher, x, y, key, jnp.asarray(5.0))
-    jax.block_until_ready(m["loss"])
+    float(jax.device_get(m["loss"]))
 
+    # drain every few steps: mirrors real training (host reads metrics
+    # periodically) and avoids pathological deep async dispatch queues on
+    # relayed platforms
+    drain_every = 5
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         state, m = step(state, teacher, x, y, sub, jnp.asarray(5.0))
-    jax.block_until_ready(m["loss"])
+        if (i + 1) % drain_every == 0:
+            float(jax.device_get(m["loss"]))
+    float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
     img_per_sec = batch * steps / dt
 

@@ -273,10 +273,15 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
 def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                        gating_distrib=None, attn_distrib=None,
                        mlp_distrib=None, masks=None, jumping: bool = False,
+                       remat: bool = True,
                        dtype=jnp.float32) -> jax.Array:
     """The gated block stack + final LN, shared by DeiT/ViT and T2T-ViT
     (reference block loops: model_distilled.py:477-507,
-    T2TViT/models/t2t_vit.py:177-199)."""
+    T2TViT/models/t2t_vit.py:177-199).
+
+    ``remat`` checkpoints each block of the scan: activations are recomputed
+    in the backward pass, bounding train-step HBM by one block's activations
+    instead of all L (the standard TPU memory/FLOPs trade)."""
     eps = cfg.layer_norm_eps
     scale = cfg.qk_scale if cfg.qk_scale is not None else cfg.head_size ** -0.5
 
@@ -311,8 +316,8 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
     xs = (params["blocks"], gating_distrib, attn_distrib, mlp_distrib,
           None if masks is None else masks["attn"],
           None if masks is None else masks["mlp"])
-    (x, accum), _ = jax.lax.scan(block_body,
-                                 (x, jnp.zeros_like(x)), xs)
+    body = jax.checkpoint(block_body) if remat else block_body
+    (x, accum), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
     if jumping:
         x = accum
 
