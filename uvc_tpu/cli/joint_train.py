@@ -65,8 +65,9 @@ def load_params(args, cfg, key=None):
             ck = load_checkpoint(args.model_path)
             return ck["params"] if "params" in ck else ck
         return load_torch_checkpoint(args.model_path, cfg)
-    return vit.init_params(key, cfg,
-                           patch_gating=args.enable_patch_gating == 1)
+    return vit.init_params(
+        key, cfg,
+        patch_gating=getattr(args, "enable_patch_gating", 0) == 1)
 
 
 def main(argv=None):

@@ -128,6 +128,24 @@ def load_eval_image(path: str, size: int = 224,
 # ---------------------------------------------------------------------------
 
 
+def ra_sampler_indices(n: int, epoch: int, rank: int, num_replicas: int,
+                       shuffle: bool = True) -> np.ndarray:
+    """Repeated-augmentation sampling (DeiT recipe) — RASampler semantics
+    (Baseline_pruning/samplers.py:8-59): shuffle with the epoch as seed,
+    repeat each index 3x, pad to a multiple of the replica count, stride-
+    subsample by rank, then truncate so each replica sees
+    floor(n // 256 * 256 / num_replicas) samples."""
+    rng = np.random.default_rng(epoch)
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    idx = np.repeat(idx, 3)
+    num_samples = -(-n * 3 // num_replicas)
+    total = num_samples * num_replicas
+    idx = np.concatenate([idx, idx[: total - len(idx)]])
+    idx = idx[rank:total:num_replicas]
+    num_selected = int(n // 256 * 256 / num_replicas)
+    return idx[:num_selected]
+
+
 class FolderLoader:
     """Threaded, double-buffered loader over an image folder.
 
@@ -138,7 +156,7 @@ class FolderLoader:
     def __init__(self, root: str, batch_size: int, *, train: bool,
                  img_size: int = 224, seed: int = 42, num_workers: int = 16,
                  drop_last: bool = True, pid: int = 0, pcount: int = 1,
-                 prefetch: int = 4):
+                 prefetch: int = 4, repeated_aug: bool = False):
         self.paths, self.labels, self.classes = scan_image_folder(root)
         self.batch_size = batch_size
         self.train = train
@@ -148,10 +166,14 @@ class FolderLoader:
         self.drop_last = drop_last
         self.pid, self.pcount = pid, pcount
         self.prefetch = prefetch
+        self.repeated_aug = repeated_aug
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.paths) // self.pcount
+        if self.train and self.repeated_aug:
+            n = int(len(self.paths) // 256 * 256 / self.pcount)
+        else:
+            n = len(self.paths) // self.pcount
         return n // self.batch_size if self.drop_last else \
             -(-n // self.batch_size)
 
@@ -161,6 +183,9 @@ class FolderLoader:
     def _indices(self) -> np.ndarray:
         n = len(self.paths)
         if self.train:
+            if self.repeated_aug:
+                return ra_sampler_indices(n, self.seed + self.epoch,
+                                          self.pid, self.pcount)
             rng = np.random.default_rng(self.seed + self.epoch)
             perm = rng.permutation(n)
             return perm[self.pid::self.pcount]

@@ -50,8 +50,12 @@ def warmup_constant_schedule(base_lr: float, warmup_steps: int):
 
 
 def get_tau(tau_max: float, tau_min: float, step, total_steps: int):
-    """Linear token-selection temperature anneal 10 -> 0.1 over training
-    (reference get_tau used at joint_train.py:404-407)."""
+    """Token-selection gumbel temperature ramp.
+
+    Reference parity (joint_train.py:83-85, engine.py:24-25):
+    ``tau = min + (max - min) * ite / total`` — called with (10, 0.1), so
+    tau *rises* 0.1 -> 10 over training (sampling gets softer, not harder).
+    """
     frac = jnp.clip(jnp.asarray(step, jnp.float32) / max(1, total_steps),
                     0.0, 1.0)
-    return tau_max + (tau_min - tau_max) * frac
+    return tau_min + (tau_max - tau_min) * frac
