@@ -130,17 +130,16 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _attention(x, blk, num_heads, scale, attn_mask_row, dtype):
+    from uvc_tpu.ops.attention import attention_core
     b, n, d = x.shape
     hs = d // num_heads
     qkv = (x @ blk["qkv"]["kernel"].astype(dtype)
            + blk["qkv"]["bias"].astype(dtype))
     qkv = qkv.reshape(b, n, 3, num_heads, hs)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=jnp.float32).astype(dtype)
+    # fused Pallas attention on TPU (logits/probs never leave VMEM);
+    # naive jnp on CPU (see ops/attention.py)
+    ctx = attention_core(q, k, v, scale).astype(dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d)
     if attn_mask_row is not None:
         # structural head/dim pruning: identical to zeroing proj's input
@@ -154,7 +153,9 @@ def _attention(x, blk, num_heads, scale, attn_mask_row, dtype):
 def _mlp(x, blk, mlp_mask_row, dtype):
     h = (x @ blk["fc1"]["kernel"].astype(dtype)
          + blk["fc1"]["bias"].astype(dtype))
-    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(dtype)
+    # gelu in compute dtype — matches torch AMP autocast, which runs GELU
+    # in half precision (the reference trains under autocast/apex O2)
+    h = jax.nn.gelu(h, approximate=False)
     if mlp_mask_row is not None:
         # structural MLP-unit pruning: identical to zeroing fc2's input
         # columns + fc1's output rows (uvc_utils.py:394-401).
