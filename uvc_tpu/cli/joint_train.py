@@ -64,6 +64,9 @@ def load_params(args, cfg, key=None):
         if args.model_path.endswith(".ckpt"):
             ck = load_checkpoint(args.model_path)
             return ck["params"] if "params" in ck else ck
+        if args.model_path.endswith(".npz"):
+            from uvc_tpu.models.convert import load_npz_checkpoint
+            return load_npz_checkpoint(args.model_path, cfg)
         return load_torch_checkpoint(args.model_path, cfg)
     return vit.init_params(
         key, cfg,

@@ -46,6 +46,11 @@ class ViTConfig:
     qk_scale: float | None = None
     # T2T uses fixed sinusoid position embeddings (t2t_vit.py:120).
     sinusoid_pos_embed: bool = False
+    # R50+ViT hybrid: ResNetV2 stem feeds the patch embedding
+    # (models/modeling.py:168-213, configs.py:55-66).
+    hybrid: bool = False
+    resnet_layers: Tuple[int, ...] = (3, 4, 9)
+    resnet_width: int = 1
 
     @property
     def head_size(self) -> int:
@@ -59,6 +64,10 @@ class ViTConfig:
     def grid_size(self) -> int:
         if self.tokens_type != "none":
             # three soft-splits with strides 4,2,2 (t2t_vit.py:82)
+            return self.img_size // 16
+        if self.hybrid:
+            # stem stride 16, then patch conv of size img//16//grid
+            # (modeling.py:176-182): grid is fixed at 14 for 224px
             return self.img_size // 16
         return self.img_size // self.patch_size
 
@@ -107,6 +116,10 @@ CONFIGS = {
                           depth=24, num_heads=16),
     "ViT-H_14": ViTConfig(name="ViT-H_14", patch_size=14, embed_dim=1280,
                           depth=32, num_heads=16),
+    # R50 hybrid (models/configs.py:55-66, get_r50_b16_config)
+    "R50-ViT-B_16": ViTConfig(name="R50-ViT-B_16", embed_dim=768, depth=12,
+                              num_heads=12, hybrid=True,
+                              resnet_layers=(3, 4, 9), resnet_width=1),
     # 'testing' micro config (models/configs.py:18-31) — the reference's only
     # fixture-like artifact; ours is MXU-aligned but still tiny.
     "testing": ViTConfig(name="testing", img_size=32, patch_size=16,

@@ -156,3 +156,116 @@ def load_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
                 ckpt = ckpt[key]
                 break
     return from_torch_state_dict(ckpt, cfg)
+
+
+def load_npz_checkpoint(path: str, cfg: ViTConfig) -> dict:
+    """Load upstream jax-format ViT .npz weights (the jeonsworld
+    ``load_from`` path: models/modeling.py:328-381, including bilinear
+    pos-embed grid resize and the R50 hybrid stem keys
+    modeling_resnet.py:94-126).
+
+    The .npz is already in jax layout (kernels [in, out], conv HWIO,
+    attention q/k/v kernels [D, H, dh]) so tensors load verbatim; q/k/v
+    are fused into the qkv layout and blocks are stacked on a layer axis.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    w = dict(np.load(path, allow_pickle=False))
+    d, l = cfg.embed_dim, cfg.depth
+
+    def arr(k):
+        return np.asarray(w[k], np.float32)
+
+    def block(i, name):
+        return arr(f"Transformer/encoderblock_{i}/{name}")
+
+    qkvs, qkvb, projs, projb = [], [], [], []
+    fc1s, fc1b, fc2s, fc2b = [], [], [], []
+    ln1s, ln1b, ln2s, ln2b = [], [], [], []
+    at = "MultiHeadDotProductAttention_1"
+    for i in range(l):
+        q = block(i, f"{at}/query/kernel").reshape(d, d)
+        k = block(i, f"{at}/key/kernel").reshape(d, d)
+        v = block(i, f"{at}/value/kernel").reshape(d, d)
+        qkvs.append(np.concatenate([q, k, v], axis=1))       # [D, 3D]
+        qb = block(i, f"{at}/query/bias").reshape(-1)
+        kb = block(i, f"{at}/key/bias").reshape(-1)
+        vb = block(i, f"{at}/value/bias").reshape(-1)
+        qkvb.append(np.concatenate([qb, kb, vb]))
+        projs.append(block(i, f"{at}/out/kernel").reshape(d, d))
+        projb.append(block(i, f"{at}/out/bias").reshape(-1))
+        fc1s.append(block(i, "MlpBlock_3/Dense_0/kernel"))
+        fc1b.append(block(i, "MlpBlock_3/Dense_0/bias"))
+        fc2s.append(block(i, "MlpBlock_3/Dense_1/kernel"))
+        fc2b.append(block(i, "MlpBlock_3/Dense_1/bias"))
+        ln1s.append(block(i, "LayerNorm_0/scale"))
+        ln1b.append(block(i, "LayerNorm_0/bias"))
+        ln2s.append(block(i, "LayerNorm_2/scale"))
+        ln2b.append(block(i, "LayerNorm_2/bias"))
+
+    pos = arr("Transformer/posembed_input/pos_embedding")    # [1, N+1, D]
+    if pos.shape[1] != cfg.seq_len:
+        # bilinear grid resize (modeling.py:345-369)
+        tok, grid = pos[:, :1], pos[0, 1:]
+        gs_old = int(np.sqrt(grid.shape[0]))
+        gs_new = cfg.grid_size
+        grid = grid.reshape(gs_old, gs_old, -1)
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(grid), (gs_new, gs_new, grid.shape[-1]),
+            method="bilinear"))
+        pos = np.concatenate([tok, grid.reshape(1, gs_new * gs_new, -1)],
+                             axis=1)
+
+    params: dict = {
+        "patch_embed": {"kernel": arr("embedding/kernel"),
+                        "bias": arr("embedding/bias")},
+        "cls_token": arr("cls").reshape(1, 1, d),
+        "pos_embed": pos,
+        "blocks": {
+            "ln1": {"scale": np.stack(ln1s), "bias": np.stack(ln1b)},
+            "qkv": {"kernel": np.stack(qkvs), "bias": np.stack(qkvb)},
+            "proj": {"kernel": np.stack(projs), "bias": np.stack(projb)},
+            "ln2": {"scale": np.stack(ln2s), "bias": np.stack(ln2b)},
+            "fc1": {"kernel": np.stack(fc1s), "bias": np.stack(fc1b)},
+            "fc2": {"kernel": np.stack(fc2s), "bias": np.stack(fc2b)},
+        },
+        "norm": {"scale": arr("Transformer/encoder_norm/scale"),
+                 "bias": arr("Transformer/encoder_norm/bias")},
+        "head": {"kernel": arr("head/kernel").reshape(d, -1),
+                 "bias": arr("head/bias").reshape(-1)},
+        "block_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+        "attn_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+        "mlp_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+        "token_scorer": {"kernel": np.zeros((d, 1), np.float32),
+                         "bias": np.zeros((1,), np.float32)},
+    }
+
+    if cfg.hybrid:
+        stem: dict = {"conv_root": arr("conv_root/kernel"),
+                      "gn_root": {"scale": arr("gn_root/scale").reshape(-1),
+                                  "bias": arr("gn_root/bias").reshape(-1)}}
+        for bi, n_units in enumerate(cfg.resnet_layers):
+            units = []
+            for u in range(n_units):
+                pre = f"block{bi + 1}/unit{u + 1}"
+                unit = {
+                    "conv1": arr(f"{pre}/conv1/kernel"),
+                    "gn1": {"scale": arr(f"{pre}/gn1/scale").reshape(-1),
+                            "bias": arr(f"{pre}/gn1/bias").reshape(-1)},
+                    "conv2": arr(f"{pre}/conv2/kernel"),
+                    "gn2": {"scale": arr(f"{pre}/gn2/scale").reshape(-1),
+                            "bias": arr(f"{pre}/gn2/bias").reshape(-1)},
+                    "conv3": arr(f"{pre}/conv3/kernel"),
+                    "gn3": {"scale": arr(f"{pre}/gn3/scale").reshape(-1),
+                            "bias": arr(f"{pre}/gn3/bias").reshape(-1)},
+                }
+                if f"{pre}/conv_proj/kernel" in w:
+                    unit["conv_proj"] = arr(f"{pre}/conv_proj/kernel")
+                    unit["gn_proj"] = {
+                        "scale": arr(f"{pre}/gn_proj/scale").reshape(-1),
+                        "bias": arr(f"{pre}/gn_proj/bias").reshape(-1)}
+                units.append(unit)
+            stem[f"block{bi + 1}"] = units
+        params["resnet"] = stem
+    return params

@@ -82,11 +82,19 @@ def init_params(key: jax.Array, cfg: ViTConfig, *,
     def stack(fn):
         return jax.vmap(fn)(jax.random.split(next(keys), l))
 
+    if cfg.hybrid:
+        # R50 hybrid: ResNetV2 stem (stride 16) + 1x1 patch conv
+        # (modeling.py:186-194)
+        from uvc_tpu.models.resnet import init_resnet_stem
+        stem_c = 64 * cfg.resnet_width * 16
+        pe = {"kernel": _trunc_normal(next(keys), (1, 1, stem_c, d)),
+              "bias": jnp.zeros((d,), dtype)}
+    else:
+        pe = {"kernel": _trunc_normal(next(keys), (p, p, cfg.in_chans, d)),
+              "bias": jnp.zeros((d,), dtype)}
+
     params = {
-        "patch_embed": {
-            "kernel": _trunc_normal(next(keys), (p, p, cfg.in_chans, d)),
-            "bias": jnp.zeros((d,), dtype),
-        },
+        "patch_embed": pe,
         "cls_token": _trunc_normal(next(keys), (1, 1, d)),
         "pos_embed": _trunc_normal(next(keys), (1, cfg.seq_len, d)),
         "blocks": {
@@ -113,6 +121,10 @@ def init_params(key: jax.Array, cfg: ViTConfig, *,
                                "bias": jnp.zeros((cfg.num_classes,))}
     if patch_gating:
         params["patch_gating"] = jnp.full((1, cfg.num_patches, 1), 3.0)
+    if cfg.hybrid:
+        from uvc_tpu.models.resnet import init_resnet_stem
+        params["resnet"] = init_resnet_stem(
+            next(keys), cfg.resnet_layers, cfg.resnet_width)
     return params
 
 
@@ -168,8 +180,20 @@ def _mlp(x, blk, mlp_mask_row, dtype):
 def patch_embed(params: dict, x: jax.Array, cfg: ViTConfig,
                 dtype=jnp.float32) -> jax.Array:
     """Non-overlapping conv patchify as reshape + one big matmul
-    (MXU-friendly; equivalent to Conv2d k=s=patch_size)."""
+    (MXU-friendly; equivalent to Conv2d k=s=patch_size).  For the R50
+    hybrid, the ResNetV2 stem runs first and the "patch" conv is 1x1
+    (modeling.py:184-194)."""
     b = x.shape[0]
+    if cfg.hybrid:
+        from uvc_tpu.models.resnet import apply_resnet_stem
+        feat = apply_resnet_stem(params["resnet"], x.astype(dtype),
+                                 cfg.resnet_layers)   # [B, g, g, C']
+        g = feat.shape[1]
+        c = feat.shape[-1]
+        feat = feat.reshape(b, g * g, c)
+        kernel = params["patch_embed"]["kernel"].reshape(c, cfg.embed_dim)
+        return (feat @ kernel.astype(dtype)
+                + params["patch_embed"]["bias"].astype(dtype))
     p = cfg.patch_size
     g = cfg.img_size // p
     # x: [B, H, W, C] (NHWC on TPU)
