@@ -201,6 +201,8 @@ class FolderLoader:
 
         def produce():
             from concurrent.futures import ThreadPoolExecutor
+            from uvc_tpu.data import native_loader
+            use_native = native_loader.available()
             base_rng = np.random.default_rng(
                 (self.seed + self.epoch) * 1000 + self.pid)
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -209,17 +211,29 @@ class FolderLoader:
                         return
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     seeds = base_rng.integers(0, 2**31, len(sel))
+                    if use_native:
+                        # first-party C++ decode/transform pipeline
+                        # (native/uvc_loader.cpp); per-image fallback for
+                        # files libjpeg rejects
+                        x = native_loader.load_batch(
+                            [self.paths[i] for i in sel], self.img_size,
+                            train=self.train,
+                            seeds=seeds.astype(np.uint64),
+                            num_threads=self.num_workers)
+                        if x is None:
+                            use_native = False
+                    if not use_native:
+                        def one(args):
+                            i, s = args
+                            if self.train:
+                                return load_train_image(
+                                    self.paths[i],
+                                    np.random.default_rng(int(s)),
+                                    self.img_size)
+                            return load_eval_image(self.paths[i],
+                                                   self.img_size)
 
-                    def one(args):
-                        i, s = args
-                        if self.train:
-                            return load_train_image(
-                                self.paths[i], np.random.default_rng(int(s)),
-                                self.img_size)
-                        return load_eval_image(self.paths[i], self.img_size)
-
-                    imgs = list(pool.map(one, zip(sel, seeds)))
-                    x = np.stack(imgs)
+                        x = np.stack(list(pool.map(one, zip(sel, seeds))))
                     y = self.labels[sel].astype(np.int32)
                     out_q.put((x, y))
             out_q.put(None)
