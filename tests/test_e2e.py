@@ -46,3 +46,19 @@ def test_stage2_cli_from_ckpt(tmp_path):
         "--output_dir", str(tmp_path), "--name", "s2",
     ])
     assert (tmp_path / "s2" / "metrics.jsonl").exists()
+
+
+def test_cli_joint_train_t2t(tmp_path):
+    """T2T backbone dispatch: the full two-stage pipeline on t2t_vit_7
+    (regression: the drivers previously hard-wired the DeiT model)."""
+    from uvc_tpu.cli.joint_train import main
+    main([
+        "--model_type", "t2t_vit_7", "--dataset", "synthetic",
+        "--img_size", "64", "--train_batch_size", "4",
+        "--eval_batch_size", "4", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--warmup_epochs", "1",
+        "--post_num_epochs", "0", "--warmup_steps", "1",
+        "--enable_patch_gating", "0", "--gating_interval", "2",
+        "--output_dir", str(tmp_path), "--name", "t2t",
+    ])
+    assert (tmp_path / "t2t" / "metrics.jsonl").exists()

@@ -34,7 +34,7 @@ from uvc_tpu.data.pipeline import normalize_on_device
 from uvc_tpu.distill.losses import (distillation_loss,
                                     label_smoothing_cross_entropy,
                                     soft_target_cross_entropy)
-from uvc_tpu.models import vit
+from uvc_tpu.models import get_model
 from uvc_tpu.train.state import (TrainHParams, clip_global_norm,
                                  make_weight_optimizer)
 from uvc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
@@ -87,7 +87,7 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
         def loss_fn(params):
             p = apply_weight_masks(params, wmasks) \
                 if wmasks is not None else params
-            out = vit.apply(
+            out = get_model(cfg).apply(
                 p, x, cfg,
                 tau=tau if token_selection else -1.0,
                 patch_ratio=token_number,
@@ -103,9 +103,9 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
                 base = -jnp.mean(jnp.take_along_axis(
                     logp, labels[:, None], axis=-1))
             if use_distill and teacher_params is not None:
-                t_out = vit.apply(teacher_params, x, cfg, train=False,
+                t_out = get_model(cfg).apply(teacher_params, x, cfg, train=False,
                                   dtype=dtype)
-                t_logits = vit.eval_logits(t_out, cfg)
+                t_logits = get_model(cfg).eval_logits(t_out, cfg)
                 return distillation_loss(
                     base, out.logits_kd, t_logits,
                     kind=thp.distillation_type,
@@ -136,8 +136,9 @@ def build_baseline_eval_step(cfg: ViTConfig, thp: TrainHParams):
     def step(params, wmasks, x, labels):
         p = apply_weight_masks(params, wmasks) \
             if wmasks is not None else params
-        out = vit.apply(p, x, cfg, train=False, dtype=dtype)
-        logits = vit.eval_logits(out, cfg)
+        model = get_model(cfg)
+        out = model.apply(p, x, cfg, train=False, dtype=dtype)
+        logits = model.eval_logits(out, cfg)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         correct = (jnp.argmax(logits, axis=-1) == labels)

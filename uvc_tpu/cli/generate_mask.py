@@ -49,7 +49,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from uvc_tpu.baselines import pruning
-    from uvc_tpu.models import vit
+    from uvc_tpu.models import get_model
     from uvc_tpu.utils.checkpoint import save_checkpoint
 
     num_classes = flags.num_classes_for(args.dataset)
@@ -65,7 +65,7 @@ def main(argv=None):
             from uvc_tpu.models.convert import load_torch_checkpoint
             params = load_torch_checkpoint(args.pretrained, cfg)
     else:
-        params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
+        params = get_model(cfg).init_params(jax.random.PRNGKey(args.seed), cfg)
 
     def batches():
         from uvc_tpu.cli.joint_train import build_loaders
@@ -94,7 +94,7 @@ def main(argv=None):
 
         def forward_sum(p):
             ones = jnp.ones((1, cfg.img_size, cfg.img_size, cfg.in_chans))
-            out = vit.apply(p, ones, cfg, train=False)
+            out = get_model(cfg).apply(p, ones, cfg, train=False)
             return jnp.sum(out.logits) + (
                 jnp.sum(out.logits_kd) if cfg.distilled else 0.0)
 
@@ -103,7 +103,7 @@ def main(argv=None):
     elif args.type == "taylor":
 
         def loss_fn(p, x, y):
-            out = vit.apply(p, x, cfg, train=True)
+            out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
@@ -114,7 +114,7 @@ def main(argv=None):
     else:  # sp
 
         def loss_fn(p, x, y):
-            out = vit.apply(p, x, cfg, train=True)
+            out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 

@@ -56,7 +56,7 @@ def build_loaders(args, num_classes: int, img_size: int):
 
 
 def load_params(args, cfg, key=None):
-    from uvc_tpu.models import vit
+    from uvc_tpu.models import get_model
     from uvc_tpu.models.convert import load_torch_checkpoint
     from uvc_tpu.utils.checkpoint import load_checkpoint
     key = key if key is not None else jax.random.PRNGKey(args.seed)
@@ -68,7 +68,7 @@ def load_params(args, cfg, key=None):
             from uvc_tpu.models.convert import load_npz_checkpoint
             return load_npz_checkpoint(args.model_path, cfg)
         return load_torch_checkpoint(args.model_path, cfg)
-    return vit.init_params(
+    return get_model(cfg).init_params(
         key, cfg,
         patch_gating=getattr(args, "enable_patch_gating", 0) == 1)
 

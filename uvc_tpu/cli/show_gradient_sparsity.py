@@ -28,7 +28,7 @@ def main(argv=None):
     from uvc_tpu.cli.joint_train import build_loaders, load_params
     from uvc_tpu.data.pipeline import normalize_on_device
     from uvc_tpu.diagnostics import format_report, gradient_sparsity_stats
-    from uvc_tpu.models import vit
+    from uvc_tpu.models import get_model
 
     num_classes = flags.num_classes_for(args.dataset)
     cfg = get_config(args.model_type).replace(
@@ -37,7 +37,7 @@ def main(argv=None):
     train, _ = build_loaders(args, num_classes, args.img_size)
 
     def loss_fn(p, x, y):
-        out = vit.apply(p, x, cfg, train=True, dtype=jnp.bfloat16)
+        out = get_model(cfg).apply(p, x, cfg, train=True, dtype=jnp.bfloat16)
         logp = jax.nn.log_softmax(out.logits, axis=-1)
         return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 

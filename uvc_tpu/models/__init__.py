@@ -1,2 +1,34 @@
+"""Model registry dispatch.
+
+``get_model(cfg)`` returns the module implementing the backbone family for
+a config — the reference's equivalent is the if/else over model_type in
+setup() (joint_train.py:135-148: DistilledVisionTransformer vs t2t_vit_14).
+Every module exposes ``init_params(key, cfg, **kw)``, ``apply(params, x,
+cfg, **kw)`` and ``eval_logits(out, cfg)`` with identical signatures so
+train steps are model-agnostic.
+"""
+
 from uvc_tpu.models import vit
-from uvc_tpu.models.vit import init_params, apply, eval_logits
+from uvc_tpu.models.vit import apply, eval_logits, init_params  # noqa: F401
+
+
+def get_model(cfg):
+    if cfg.tokens_type != "none":
+        from uvc_tpu.models import t2t_vit
+        return t2t_vit
+    return vit
+
+
+def frozen_update_mask(params) -> list:
+    """Paths of non-trainable leaves (requires_grad=False in the
+    reference): the performer's random-feature matrix ``prm_w``
+    (token_performer.py:28-29).  Train steps zero both grads and optimizer
+    updates for these (torch skips them entirely; optax weight decay would
+    otherwise shrink them)."""
+    import jax
+    paths = []
+    for path, _ in jax.tree_util.tree_leaves_with_path(params):
+        s = jax.tree_util.keystr(path)
+        if "prm_w" in s:
+            paths.append(path)
+    return paths

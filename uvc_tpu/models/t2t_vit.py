@@ -163,9 +163,12 @@ def apply_token_transformer(p: dict, x: jax.Array, dim: int,
     return x + h
 
 
-def init_params(key: jax.Array, cfg: ViTConfig) -> dict:
+def init_params(key: jax.Array, cfg: ViTConfig, **_ignored) -> dict:
     """T2T-ViT parameter pytree: 't2t' stem + the standard stacked blocks
-    (so compression machinery applies unchanged)."""
+    (so compression machinery applies unchanged).  Extra kwargs (e.g.
+    ``patch_gating``) are accepted for signature parity with vit and
+    ignored — the reference T2T path has no patch gating
+    (t2t_vit.py:168-208)."""
     kd, ks, k1, k2, k3, kc = jax.random.split(key, 6)
     d = cfg.embed_dim
     td = cfg.token_dim
@@ -243,3 +246,7 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
               + params["head"]["bias"])
     # training returns (x, x): t2t_vit.py:205-208
     return ForwardOutput(logits=logits, logits_kd=logits, token_mask=None)
+
+
+# signature parity with uvc_tpu.models.vit (model-agnostic train steps)
+eval_logits = vit.eval_logits

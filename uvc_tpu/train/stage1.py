@@ -32,7 +32,7 @@ from uvc_tpu.compress.resource import build_macs_table, flops_fraction
 from uvc_tpu.compress.scores import group_scores
 from uvc_tpu.compress.state import MinimaxHParams
 from uvc_tpu.data.pipeline import normalize_on_device
-from uvc_tpu.models import vit
+from uvc_tpu.models import get_model
 from uvc_tpu.ops.gumbel import block_gating_distrib
 from uvc_tpu.ops.stes import ste_ceil
 from uvc_tpu.train.state import TrainHParams, TrainState, create_train_state
@@ -102,7 +102,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     key, k_init = jax.random.split(key)
 
     if params is None:
-        params = vit.init_params(
+        params = get_model(cfg).init_params(
             k_init, cfg, patch_gating=hp.enable_patch_gating == 1)
     if teacher_params is None:
         # reference defaults the teacher to the same pretrained weights

@@ -72,6 +72,19 @@ def make_weight_optimizer(thp: TrainHParams) -> optax.GradientTransformation:
                        weight_decay=thp.weight_decay)
 
 
+def zero_frozen_updates(updates):
+    """Zero optimizer updates for non-trainable leaves (the performer's
+    ``prm_w`` random-feature matrix: requires_grad=False in the reference,
+    token_performer.py:28-29).  Its gradient is already zero via
+    stop_gradient, but decoupled weight decay would still shrink it."""
+    def z(path, u):
+        if "prm_w" in jax.tree_util.keystr(path):
+            return jnp.zeros_like(u)
+        return u
+
+    return jax.tree_util.tree_map_with_path(z, updates)
+
+
 def clip_global_norm(grads, max_norm: float):
     """torch clip_grad_norm_ semantics: scale all grads by
     max_norm/total_norm when total exceeds max_norm."""

@@ -35,10 +35,10 @@ from uvc_tpu.data.mixup import mixup_cutmix
 from uvc_tpu.distill.losses import (distillation_loss,
                                     label_smoothing_cross_entropy,
                                     soft_target_cross_entropy)
-from uvc_tpu.models import vit
+from uvc_tpu.models import get_model
 from uvc_tpu.ops.gumbel import block_gating_distrib
 from uvc_tpu.train.state import (TrainHParams, TrainState, clip_global_norm,
-                                 make_weight_optimizer)
+                                 make_weight_optimizer, zero_frozen_updates)
 
 
 def _base_loss(logits, targets, labels, thp: TrainHParams):
@@ -55,8 +55,9 @@ def _base_loss(logits, targets, labels, thp: TrainHParams):
 def _teacher_logits(teacher_params, x, cfg: ViTConfig, dtype):
     """Dense teacher forward in eval mode (losses.py:47-49; the teacher has
     gating disabled and its init [-1,1] logits always keep every block)."""
-    out = vit.apply(teacher_params, x, cfg, dtype=dtype, train=False)
-    return vit.eval_logits(out, cfg)
+    model = get_model(cfg)
+    out = model.apply(teacher_params, x, cfg, dtype=dtype, train=False)
+    return model.eval_logits(out, cfg)
 
 
 def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
@@ -103,7 +104,7 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
                     k_part2, params["mlp_gating"], use_gumbel=True,
                     gumbel_hard=gumbel_hard, eps=state.cstate.eps,
                     warmup=False)
-            out = vit.apply(
+            out = get_model(cfg).apply(
                 params, x, cfg,
                 gating_distrib=gating_distrib,
                 attn_distrib=attn_d, mlp_distrib=mlp_d,
@@ -130,6 +131,7 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
 
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = zero_frozen_updates(updates)
         if warmup:
             # zeroing the grad is not enough: AdamW's decoupled weight decay
             # would still move the frozen gating logits — zero the update
@@ -184,9 +186,9 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
             keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
             gating_distrib = jnp.stack([1.0 - keep, keep], axis=-1)
             gating_distrib = jax.lax.stop_gradient(gating_distrib)
-            out = vit.apply(params, x, cfg,
-                            gating_distrib=gating_distrib, masks=masks,
-                            train=True, dtype=dtype)
+            out = get_model(cfg).apply(
+                params, x, cfg, gating_distrib=gating_distrib, masks=masks,
+                train=True, dtype=dtype)
             base = _base_loss(out.logits, targets, labels, thp)
             t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
             return distillation_loss(
@@ -200,6 +202,7 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
         grads["block_gating"] = jnp.zeros_like(grads["block_gating"])
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = zero_frozen_updates(updates)
         # weight decay would otherwise still move the frozen gating logits
         updates = dict(updates)
         updates["block_gating"] = jnp.zeros_like(updates["block_gating"])
@@ -230,14 +233,15 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
             keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
             gating_distrib = jnp.stack([1.0 - keep, keep], axis=-1)
         tau = 1.0 if hp.enable_patch_gating == 2 else -1.0
-        out = vit.apply(params, x, cfg,
-                        gating_distrib=gating_distrib,
-                        masks=masks if masked else None,
-                        tau=tau, patch_ratio=hp.patch_ratio,
-                        patch_gate_mode=hp.enable_patch_gating,
-                        patch_hard=True,
-                        rng=key, train=False, dtype=dtype)
-        logits = vit.eval_logits(out, cfg)
+        model = get_model(cfg)
+        out = model.apply(params, x, cfg,
+                          gating_distrib=gating_distrib,
+                          masks=masks if masked else None,
+                          tau=tau, patch_ratio=hp.patch_ratio,
+                          patch_gate_mode=hp.enable_patch_gating,
+                          patch_hard=True,
+                          rng=key, train=False, dtype=dtype)
+        logits = model.eval_logits(out, cfg)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         correct = (jnp.argmax(logits, axis=-1) == labels)
