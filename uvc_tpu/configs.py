@@ -105,6 +105,24 @@ CONFIGS = {
         "deit_small_distilled_patch16_224", 384, 12, 6, distilled=True),
     "deit_base_distilled_patch16_224": _deit(
         "deit_base_distilled_patch16_224", 768, 12, 12, distilled=True),
+    # Baseline-suite architecture variants (Baseline_pruning/models.py:
+    # 94-126, 210-218: reduced-depth "half"/"8layer" baselines; :266-294:
+    # 384px finetuning resolutions).  The *_sp / *_data registry entries
+    # are the SAME architecture instrumented differently — covered here by
+    # the shared backbone + the SP scorer / data-split loader.
+    "deit_tiny_patch16_224_half": _deit(
+        "deit_tiny_patch16_224_half", 192, 4, 3),
+    "deit_tiny_patch16_224_8layer": _deit(
+        "deit_tiny_patch16_224_8layer", 192, 8, 3),
+    "deit_small_patch16_224_half": _deit(
+        "deit_small_patch16_224_half", 384, 6, 6),
+    "deit_base_patch16_224_half": _deit(
+        "deit_base_patch16_224_half", 768, 6, 12),
+    "deit_base_patch16_384": _deit(
+        "deit_base_patch16_384", 768, 12, 12, img_size=384),
+    "deit_base_distilled_patch16_384": _deit(
+        "deit_base_distilled_patch16_384", 768, 12, 12, img_size=384,
+        distilled=True),
     # jeonsworld ViT configs (models/configs.py:18-110)
     "ViT-B_16": ViTConfig(name="ViT-B_16", embed_dim=768, depth=12,
                           num_heads=12, qkv_bias=True),

@@ -128,6 +128,27 @@ def load_eval_image(path: str, size: int = 224,
 # ---------------------------------------------------------------------------
 
 
+def load_split_file(root: str, txt: str, rate: float = 1.0):
+    """Data-fraction subset from a split file (Baseline_pruning/
+    datasets.py:16-42, split_imagenet_dataset): each line is
+    ``relpath label``; keep the first ``rate`` fraction of each class."""
+    paths, labels = [], []
+    with open(txt) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            paths.append(os.path.join(root, parts[0]))
+            labels.append(int(parts[1]))
+    paths = np.asarray(paths)
+    labels = np.asarray(labels, np.int64)
+    keep = []
+    for c in np.unique(labels):
+        idx = np.nonzero(labels == c)[0]
+        keep.extend(idx[: int(len(idx) * rate)].tolist())
+    return paths[keep].tolist(), labels[keep]
+
+
 def ra_sampler_indices(n: int, epoch: int, rank: int, num_replicas: int,
                        shuffle: bool = True) -> np.ndarray:
     """Repeated-augmentation sampling (DeiT recipe) — RASampler semantics
@@ -156,8 +177,14 @@ class FolderLoader:
     def __init__(self, root: str, batch_size: int, *, train: bool,
                  img_size: int = 224, seed: int = 42, num_workers: int = 16,
                  drop_last: bool = True, pid: int = 0, pcount: int = 1,
-                 prefetch: int = 4, repeated_aug: bool = False):
-        self.paths, self.labels, self.classes = scan_image_folder(root)
+                 prefetch: int = 4, repeated_aug: bool = False,
+                 split_file: Optional[str] = None, split_rate: float = 1.0):
+        if split_file:
+            self.paths, self.labels = load_split_file(root, split_file,
+                                                      split_rate)
+            self.classes = sorted(set(int(c) for c in self.labels))
+        else:
+            self.paths, self.labels, self.classes = scan_image_folder(root)
         self.batch_size = batch_size
         self.train = train
         self.img_size = img_size

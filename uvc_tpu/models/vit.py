@@ -311,7 +311,7 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
     scale = cfg.qk_scale if cfg.qk_scale is not None else cfg.head_size ** -0.5
 
     def block_body(carry, inp):
-        h, accum = carry
+        h, accum = carry if jumping else (carry, None)
         blk, distrib, a_d, m_d, attn_m, mlp_m = inp
 
         def run_block(z):
@@ -335,16 +335,20 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                  + distrib[0].astype(dtype) * h)
         else:
             h = out
-        accum = accum + h
-        return (h, accum), None
+        if jumping:
+            # accumulate every block's output (model_distilled.py:502-506);
+            # the accumulator is only carried when jumping is on — it costs
+            # an extra activation read+write per block otherwise
+            return (h, accum + h), None
+        return h, None
 
     xs = (params["blocks"], gating_distrib, attn_distrib, mlp_distrib,
           None if masks is None else masks["attn"],
           None if masks is None else masks["mlp"])
     body = jax.checkpoint(block_body) if remat else block_body
-    (x, accum), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), xs)
-    if jumping:
-        x = accum
+    init = (x, jnp.zeros_like(x)) if jumping else x
+    out_carry, _ = jax.lax.scan(body, init, xs)
+    x = out_carry[1] if jumping else out_carry
 
     return _layer_norm(x, params["norm"]["scale"], params["norm"]["bias"],
                        eps)
