@@ -62,3 +62,31 @@ def test_cli_joint_train_t2t(tmp_path):
         "--output_dir", str(tmp_path), "--name", "t2t",
     ])
     assert (tmp_path / "t2t" / "metrics.jsonl").exists()
+
+
+def test_stage1_full_resume(tmp_path):
+    """Full stage-1 resume: minimax duals and the AdamW step counter must
+    continue from the checkpoint, not restart (beyond reference parity)."""
+    import jax
+    import numpy as np
+    from uvc_tpu.cli.joint_train import main
+    from uvc_tpu.utils.checkpoint import load_checkpoint
+
+    common = [
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "3",
+        "--warmup_epochs", "0", "--post_num_epochs", "0",
+        "--warmup_steps", "1", "--enable_patch_gating", "0",
+        "--gating_interval", "2", "--enable_warmup", "0",
+        "--output_dir", str(tmp_path),
+    ]
+    main(common + ["--num_epochs", "1", "--name", "a"])
+    ck1 = load_checkpoint(str(tmp_path / "a" / "testing_1.ckpt"))
+    z1 = float(np.asarray(ck1["cstate"]["z"]))
+    main(common + ["--num_epochs", "2", "--name", "b", "--resume",
+                   str(tmp_path / "a" / "testing_1.ckpt")])
+    ck2 = load_checkpoint(str(tmp_path / "b" / "testing_2.ckpt"))
+    assert int(ck2["global_step"]) == 6          # 3 resumed + 3 new
+    z2 = float(np.asarray(ck2["cstate"]["z"]))
+    assert z2 > z1                               # dual kept ascending

@@ -119,3 +119,31 @@ def test_jumping(params):
     x = _x()
     out = vit.apply(params, x, CFG, jumping=True, train=True)
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_cait_forward_and_grad():
+    """CaiT baseline backbone (Baseline_pruning/cait_models.py): talking-
+    heads self-attention stack + class-attention blocks, LayerScale."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import cait, get_model
+    cfg = get_config("cait_S24_224").replace(
+        img_size=32, embed_dim=16, depth=2, num_heads=2, num_classes=5)
+    assert get_model(cfg) is cait
+    params = cait.init_params(jax.random.PRNGKey(0), cfg)
+    assert params["blocks"]["proj_l"]["kernel"].shape == (2, 2, 2)
+    assert params["blocks_ca"]["q"]["kernel"].shape == (2, 16, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    out = cait.apply(params, x, cfg, train=True)
+    assert out.logits.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out.logits)))
+
+    params["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(2), params["head"]["kernel"].shape) * 0.1
+
+    def loss(p):
+        return jnp.sum(cait.apply(p, x, cfg, train=True).logits ** 2)
+
+    g = jax.grad(loss)(params)
+    gp = g["blocks"]["proj_l"]["kernel"]
+    assert bool(jnp.any(gp != 0))  # talking-head mixers receive gradient
+    assert bool(jnp.any(g["blocks_ca"]["q"]["kernel"] != 0))

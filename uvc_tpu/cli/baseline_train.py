@@ -44,7 +44,7 @@ def main(argv=None):
     p.add_argument("--token_number", default=0.7, type=float)
     p.add_argument("--model_ema", default=0, type=int)
     p.add_argument("--model_ema_decay", default=0.99996, type=float)
-    p.add_argument("--resume", default=None, type=str)
+    # --resume comes from add_common_flags
     p.add_argument("--start_epoch", default=0, type=int)
     p.add_argument("--eval", action="store_true")
     p.add_argument("--repeated_aug", default=1, type=int,

@@ -84,6 +84,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--synthetic_steps", type=int, default=50,
                    help="steps per epoch for --dataset synthetic")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume full training state from a stage-1 .ckpt "
+                        "(beyond reference parity: the reference UVC "
+                        "drivers cannot resume)")
 
 
 def add_uvc_flags(p: argparse.ArgumentParser) -> None:

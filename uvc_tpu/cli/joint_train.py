@@ -110,7 +110,8 @@ def main(argv=None):
                         test_loader=test_loader, params=params,
                         teacher_params=teacher, seed=args.seed,
                         output_dir=args.output_dir, name=args.name,
-                        log_interval=args.log_interval, logger=logger)
+                        log_interval=args.log_interval,
+                        resume=args.resume, logger=logger)
 
     # inline stage-2 (reference: joint_train.py:1032-1033)
     from uvc_tpu.train.stage2 import run_stage2

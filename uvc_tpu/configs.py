@@ -51,6 +51,10 @@ class ViTConfig:
     hybrid: bool = False
     resnet_layers: Tuple[int, ...] = (3, 4, 9)
     resnet_width: int = 1
+    # CaiT family (Baseline_pruning/cait_models.py): > 0 selects the CaiT
+    # backbone with this many class-attention blocks.
+    cls_attn_layers: int = 0
+    layer_scale_init: float = 1e-5
 
     @property
     def head_size(self) -> int:
@@ -170,6 +174,16 @@ CONFIGS = {
                               embed_dim=384, depth=14, num_heads=6,
                               mlp_ratio=3.0, qkv_bias=False,
                               sinusoid_pos_embed=True),
+    # CaiT baselines (Baseline_pruning/cait_models.py:256-400)
+    "cait_XS24": ViTConfig(name="cait_XS24", img_size=384, embed_dim=288,
+                           depth=24, num_heads=6, cls_attn_layers=2),
+    "cait_S24_224": ViTConfig(name="cait_S24_224", embed_dim=384, depth=24,
+                              num_heads=8, cls_attn_layers=2),
+    "cait_S24": ViTConfig(name="cait_S24", img_size=384, embed_dim=384,
+                          depth=24, num_heads=8, cls_attn_layers=2),
+    "cait_S36": ViTConfig(name="cait_S36", img_size=384, embed_dim=384,
+                          depth=36, num_heads=8, cls_attn_layers=2,
+                          layer_scale_init=1e-6),
 }
 
 deit_family = [k for k in CONFIGS if k.startswith("deit")]

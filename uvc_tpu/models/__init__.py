@@ -13,6 +13,9 @@ from uvc_tpu.models.vit import apply, eval_logits, init_params  # noqa: F401
 
 
 def get_model(cfg):
+    if cfg.cls_attn_layers > 0:
+        from uvc_tpu.models import cait
+        return cait
     if cfg.tokens_type != "none":
         from uvc_tpu.models import t2t_vit
         return t2t_vit

@@ -95,6 +95,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                seed: int = 42, output_dir: str = "output",
                name: str = "debug", log_interval: int = 2000,
                eval_each_epoch: bool = True, save_checkpoints: bool = True,
+               resume: Optional[str] = None,
                logger: Optional[MetricLogger] = None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
@@ -113,6 +114,22 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     # copy params into the (donated) train state: the caller keeps ownership
     # of its buffers — they routinely alias teacher_params and outlive stage 1
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, cstate)
+    start_epoch = 1
+    resumed_step = 0
+    if resume:
+        # full resume: weights + AdamW moments + every minimax variable +
+        # optimizer traces + progress (the reference UVC drivers cannot
+        # resume at all — they save only model.state_dict(),
+        # joint_train.py:107-119; parity model is the baseline suite's
+        # full resume, Baseline_pruning/main.py:400-415)
+        from uvc_tpu.utils.checkpoint import load_checkpoint
+        from flax import serialization
+        ck = load_checkpoint(resume)
+        state = serialization.from_state_dict(state, ck["state"])
+        start_epoch = int(ck.get("epoch", 0)) + 1
+        resumed_step = int(ck.get("global_step", 0))
+        key = jax.random.PRNGKey(int(ck.get("key_seed", seed)))
+        logger.info(f"Resumed stage-1 from {resume} at epoch {start_epoch}")
     total_param = float(total_maskable_params(params))
     logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
                 f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")
@@ -124,11 +141,11 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     eval_step = build_eval_step(cfg, hp, thp, masked=False)
 
     best_acc = 0.0
-    global_step = 0
+    global_step = resumed_step
     losses = AverageMeter()
     masks = None
 
-    for epoch in range(1, thp.num_epochs + 1):
+    for epoch in range(start_epoch, thp.num_epochs + 1):
         warmup = epoch <= thp.warmup_epochs
         stage = "Warm Up" if warmup else "UVC Train"
         step_fn = warm_step if warmup else uvc_step
@@ -208,12 +225,17 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             best_acc = max(best_acc, acc)
 
         if save_checkpoints:
+            from flax import serialization
             save_checkpoint(
                 f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
                 {"params": state.params,
                  "cstate": {"s": state.cstate.s, "r": state.cstate.r,
                             "y": state.cstate.y, "p": state.cstate.p,
                             "z": state.cstate.z, "eps": state.cstate.eps},
-                 "masks": masks, "epoch": epoch, "step": global_step})
+                 # full resumable training state (AdamW moments, minimax
+                 # optimizer traces, gating accumulator, step counter)
+                 "state": serialization.to_state_dict(state),
+                 "masks": masks, "epoch": epoch, "step": global_step,
+                 "global_step": global_step, "key_seed": seed + epoch})
 
     return Stage1Result(state=state, masks=masks, best_acc=best_acc)
