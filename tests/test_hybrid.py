@@ -91,3 +91,55 @@ def test_npz_loader_and_pos_resize(tmp_path):
     out = vit.apply(params, x, cfg, train=False)
     assert out.logits.shape == (2, 5)
     assert bool(jnp.all(jnp.isfinite(out.logits)))
+
+
+def test_t2t_torch_checkpoint_conversion():
+    """Synthetic T2T-ViT torch state dict (T2TViT naming) -> params
+    pytree -> finite forward."""
+    from uvc_tpu.models import t2t_vit
+    from uvc_tpu.models.convert import from_t2t_state_dict
+
+    cfg = get_config("t2t_vit_7").replace(
+        img_size=64, embed_dim=32, depth=2, num_heads=2, token_dim=16,
+        num_classes=5)
+    rng = np.random.default_rng(0)
+    d, td, f = 32, 16, int(32 * cfg.mlp_ratio)
+    sd = {}
+
+    def lin(name, fi, fo, bias=True):
+        sd[name + ".weight"] = rng.normal(size=(fo, fi)).astype(np.float32)
+        if bias:
+            sd[name + ".bias"] = np.zeros(fo, np.float32)
+
+    def ln(name, n):
+        sd[name + ".weight"] = np.ones(n, np.float32)
+        sd[name + ".bias"] = np.zeros(n, np.float32)
+
+    for stage, dim in (("attention1", 3 * 7 * 7), ("attention2", td * 9)):
+        pre = f"tokens_to_token.{stage}"
+        lin(pre + ".kqv", dim, 3 * td)
+        lin(pre + ".proj", td, td)
+        ln(pre + ".norm1", dim)
+        ln(pre + ".norm2", td)
+        lin(pre + ".mlp.0", td, td)
+        lin(pre + ".mlp.2", td, td)
+        sd[pre + ".w"] = rng.normal(size=(td // 2, td)).astype(np.float32)
+    lin("tokens_to_token.project", td * 9, d)
+    sd["cls_token"] = rng.normal(size=(1, 1, d)).astype(np.float32)
+    for i in range(2):
+        ln(f"blocks.{i}.norm1", d)
+        lin(f"blocks.{i}.attn.qkv", d, 3 * d, bias=False)
+        lin(f"blocks.{i}.attn.proj", d, d)
+        ln(f"blocks.{i}.norm2", d)
+        lin(f"blocks.{i}.mlp.fc1", d, f)
+        lin(f"blocks.{i}.mlp.fc2", f, d)
+    ln("norm", d)
+    lin("head", d, 5)
+
+    params = from_t2t_state_dict(sd, cfg)
+    assert params["t2t"]["attention1"]["prm_w"].shape == (td // 2, td)
+    assert params["blocks"]["qkv"]["kernel"].shape == (2, d, 3 * d)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    out = t2t_vit.apply(params, x, cfg, train=False)
+    assert out.logits.shape == (2, 5)
+    assert bool(jnp.all(jnp.isfinite(out.logits)))

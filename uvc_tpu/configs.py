@@ -174,6 +174,23 @@ CONFIGS = {
                               embed_dim=384, depth=14, num_heads=6,
                               mlp_ratio=3.0, qkv_bias=False,
                               sinusoid_pos_embed=True),
+    "t2t_vit_t_19": ViTConfig(name="t2t_vit_t_19", tokens_type="transformer",
+                              embed_dim=448, depth=19, num_heads=7,
+                              mlp_ratio=3.0, qkv_bias=False,
+                              sinusoid_pos_embed=True),
+    "t2t_vit_t_24": ViTConfig(name="t2t_vit_t_24", tokens_type="transformer",
+                              embed_dim=512, depth=24, num_heads=8,
+                              mlp_ratio=3.0, qkv_bias=False,
+                              sinusoid_pos_embed=True),
+    # resnext/wide structure ablations (t2t_vit.py:308-328)
+    "t2t_vit_14_resnext": ViTConfig(
+        name="t2t_vit_14_resnext", tokens_type="performer", embed_dim=384,
+        depth=14, num_heads=32, mlp_ratio=3.0, qkv_bias=False,
+        sinusoid_pos_embed=True),
+    "t2t_vit_14_wide": ViTConfig(
+        name="t2t_vit_14_wide", tokens_type="performer", embed_dim=768,
+        depth=4, num_heads=12, mlp_ratio=3.0, qkv_bias=False,
+        sinusoid_pos_embed=True),
     # CaiT baselines (Baseline_pruning/cait_models.py:256-400)
     "cait_XS24": ViTConfig(name="cait_XS24", img_size=384, embed_dim=288,
                            depth=24, num_heads=6, cls_attn_layers=2),

@@ -155,6 +155,9 @@ def load_torch_checkpoint(path: str, cfg: ViTConfig) -> dict:
             if key in ckpt:
                 ckpt = ckpt[key]
                 break
+    if any(k.startswith(("tokens_to_token.", "module.tokens_to_token."))
+           for k in ckpt):
+        return from_t2t_state_dict(ckpt, cfg)
     return from_torch_state_dict(ckpt, cfg)
 
 
@@ -268,4 +271,90 @@ def load_npz_checkpoint(path: str, cfg: ViTConfig) -> dict:
                 units.append(unit)
             stem[f"block{bi + 1}"] = units
         params["resnet"] = stem
+    return params
+
+
+def _t2t_stage(sd: Mapping, prefix: str, performer: bool) -> dict:
+    """One tokens-to-token attention stage (T2TViT/models/
+    token_performer.py:8-29 / token_transformer.py:13-27)."""
+
+    def lin(name):
+        w = _np(sd[f"{prefix}.{name}.weight"]).T
+        bkey = f"{prefix}.{name}.bias"
+        b = _np(sd[bkey]) if bkey in sd else np.zeros(w.shape[1], np.float32)
+        return {"kernel": w, "bias": b}
+
+    def ln(name):
+        return {"scale": _np(sd[f"{prefix}.{name}.weight"]),
+                "bias": _np(sd[f"{prefix}.{name}.bias"])}
+
+    if performer:
+        return {"kqv": lin("kqv"), "proj": lin("proj"),
+                "norm1": ln("norm1"), "norm2": ln("norm2"),
+                "mlp_fc1": lin("mlp.0"), "mlp_fc2": lin("mlp.2"),
+                "prm_w": _np(sd[f"{prefix}.w"])}
+    return {"qkv": lin("attn.qkv"), "proj": lin("attn.proj"),
+            "norm1": ln("norm1"), "norm2": ln("norm2"),
+            "mlp_fc1": lin("mlp.fc1"), "mlp_fc2": lin("mlp.fc2")}
+
+
+def from_t2t_state_dict(sd: Mapping, cfg: ViTConfig) -> dict:
+    """Convert an upstream T2T-ViT checkpoint (T2TViT/models/t2t_vit.py
+    naming: tokens_to_token.attention{1,2}, blocks.N.* identical to DeiT,
+    fixed sinusoid pos_embed excluded)."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    performer = cfg.tokens_type == "performer"
+    # blocks share the DeiT naming: reuse the DeiT converter for the body
+    base = {k: v for k, v in sd.items()
+            if k.startswith(("blocks.", "norm.", "head.", "cls_token"))}
+
+    l = cfg.depth
+
+    def stack_lin(fmt):
+        ks, bs = [], []
+        for i in range(l):
+            w = _np(sd[fmt.format(i) + ".weight"]).T
+            bkey = fmt.format(i) + ".bias"
+            b = _np(sd[bkey]) if bkey in sd \
+                else np.zeros(w.shape[1], np.float32)
+            ks.append(w)
+            bs.append(b)
+        return {"kernel": np.stack(ks), "bias": np.stack(bs)}
+
+    def stack_ln(fmt):
+        return {"scale": np.stack([_np(sd[fmt.format(i) + ".weight"])
+                                   for i in range(l)]),
+                "bias": np.stack([_np(sd[fmt.format(i) + ".bias"])
+                                  for i in range(l)])}
+
+    params = {
+        "cls_token": _np(sd["cls_token"]),
+        "blocks": {
+            "ln1": stack_ln("blocks.{}.norm1"),
+            "qkv": stack_lin("blocks.{}.attn.qkv"),
+            "proj": stack_lin("blocks.{}.attn.proj"),
+            "ln2": stack_ln("blocks.{}.norm2"),
+            "fc1": stack_lin("blocks.{}.mlp.fc1"),
+            "fc2": stack_lin("blocks.{}.mlp.fc2"),
+        },
+        "norm": {"scale": _np(sd["norm.weight"]),
+                 "bias": _np(sd["norm.bias"])},
+        "head": {"kernel": _np(sd["head.weight"]).T,
+                 "bias": _np(sd["head.bias"])},
+        "t2t": {
+            "attention1": _t2t_stage(sd, "tokens_to_token.attention1",
+                                     performer),
+            "attention2": _t2t_stage(sd, "tokens_to_token.attention2",
+                                     performer),
+            "project": {
+                "kernel": _np(sd["tokens_to_token.project.weight"]).T,
+                "bias": _np(sd["tokens_to_token.project.bias"]),
+            },
+        },
+        "block_gating": _np(sd["block_skip_gating"])
+        if "block_skip_gating" in sd
+        else np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+        "attn_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+        "mlp_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
+    }
     return params
