@@ -154,3 +154,22 @@ def test_eval_step_counts():
     assert int(m["count"]) == 8
     assert 0 <= int(m["correct"]) <= 8
     assert np.isfinite(float(m["loss_sum"]))
+
+
+def test_stage1_part_gating_bf16():
+    """Part gating (attn/mlp half skipping, model_distilled.py:218-234)
+    must not promote the bf16 scan carry (regression)."""
+    hp = MinimaxHParams(gating_interval=2, enable_patch_gating=0,
+                        enable_part_gating=True)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=2, compute_dtype=jnp.bfloat16)
+    from uvc_tpu.compress.resource import build_macs_table
+    table = build_macs_table(CFG)
+    params = _params(0)
+    teacher = _params(1)
+    state = create_train_state(params, thp, init_compression_state(CFG, hp))
+    step = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+    x, y = _batch()
+    new_state, metrics = step(state, teacher, x, y, jax.random.PRNGKey(3),
+                              jnp.asarray(-1.0))
+    assert np.isfinite(float(metrics["loss"]))

@@ -318,13 +318,15 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
             a_in = _layer_norm(z, blk["ln1"]["scale"], blk["ln1"]["bias"], eps)
             a_out = _attention(a_in, blk, cfg.num_heads, scale, attn_m, dtype)
             if a_d is not None:
-                z = a_d[0] * z + a_d[1] * a_out
+                z = (a_d[0].astype(dtype) * z
+                     + a_d[1].astype(dtype) * a_out)
             else:
                 z = z + a_out
             m_in = _layer_norm(z, blk["ln2"]["scale"], blk["ln2"]["bias"], eps)
             m_out = _mlp(m_in, blk, mlp_m, dtype)
             if m_d is not None:
-                z = m_d[0] * z + m_d[1] * m_out
+                z = (m_d[0].astype(dtype) * z
+                     + m_d[1].astype(dtype) * m_out)
             else:
                 z = z + m_out
             return z
