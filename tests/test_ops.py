@@ -111,3 +111,38 @@ def test_block_gating_distrib_modes():
                                atol=1e-6)
     expected_keep = 1.0 / (1.0 + 0.1)  # g=1: 1/(1+eps)
     np.testing.assert_allclose(soft[:, 1], expected_keep, rtol=1e-6)
+
+
+def test_mixup_modes_and_minmax():
+    """timm Mixup parity across modes (Mixup._mix_batch/_mix_elem/
+    _mix_pair) and the cutmix_minmax override."""
+    from uvc_tpu.data.mixup import mixup_cutmix
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (6, 16, 16, 3))
+    y = jnp.arange(6) % 3
+
+    for mode in ("batch", "elem", "pair"):
+        xo, t = mixup_cutmix(key, x, y, num_classes=3, mode=mode)
+        assert xo.shape == x.shape and t.shape == (6, 3)
+        np.testing.assert_allclose(np.asarray(t.sum(-1)), 1.0, rtol=1e-5)
+
+    # pair mode: sample i and b-1-i share a lambda => their targets mix
+    # with mirrored weights
+    xo, t = mixup_cutmix(key, x, y, num_classes=3, mode="pair",
+                         mixup_alpha=0.8, cutmix_alpha=0.0, prob=1.0)
+    t = np.asarray(t)
+    # row 0 = lam*t1[0] + (1-lam)*t1[5]; row 5 = lam*t1[5] + (1-lam)*t1[0]
+    oh = np.asarray(jax.nn.one_hot(y, 3))
+    sm = oh * (1 - 0.1 + 0.1 / 3 - 0.1 / 3) + 0.1 / 3
+    # recover lam from row 0 and verify row 5 uses the same lam
+    lam0 = (t[0] - sm[5]) / (sm[0] - sm[5] + 1e-12)
+    lam5 = (t[5] - sm[0]) / (sm[5] - sm[0] + 1e-12)
+    np.testing.assert_allclose(lam0[np.isfinite(lam0)].mean(),
+                               lam5[np.isfinite(lam5)].mean(), atol=1e-4)
+
+    # minmax: forces cutmix; box area fraction must lie within bounds
+    xo, t = mixup_cutmix(key, x, y, num_classes=3, mode="batch",
+                         cutmix_minmax=(0.3, 0.6), prob=1.0)
+    changed = np.asarray((xo != x).any(-1))  # [B, H, W]
+    frac = changed[0].mean()
+    assert 0.3 * 0.3 * 0.8 < frac < 0.6 * 0.6 * 1.3

@@ -103,7 +103,8 @@ def add_uvc_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--rlr", default=0.02, type=float)
     p.add_argument("--glr", default=1e-3, type=float)
     p.add_argument("--log_interval", default=2000, type=int)
-    p.add_argument("--save_budgets", default="0.6, 0.5, 0.4")
+    p.add_argument("--save_budgets", default="0.6, 0.5, 0.4",
+                   help="INERT (parsed and threaded but never consumed in the reference: uvc_optimizer.py:37 takes save_budgets and ignores it)")
     p.add_argument("--budget", default=0.5)
     p.add_argument("--sl2wd", default=0.0, type=float)
     p.add_argument("--verbose", default=True, action="store_true")
@@ -176,6 +177,9 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
         mixup=args.mixup, cutmix=args.cutmix,
         mixup_prob=getattr(args, "mixup_prob", 0.8),
         mixup_switch_prob=getattr(args, "mixup_switch_prob", 0.5),
+        mixup_mode=getattr(args, "mixup_mode", "batch"),
+        cutmix_minmax=(tuple(args.cutmix_minmax)
+                       if getattr(args, "cutmix_minmax", None) else None),
         smoothing=args.smoothing, num_classes=num_classes,
         distillation_type=(None if args.distillation_type == "none"
                            else args.distillation_type),

@@ -34,6 +34,8 @@ class TrainHParams:
     cutmix: float = 1.0
     mixup_prob: float = 0.8
     mixup_switch_prob: float = 0.5
+    mixup_mode: str = "batch"            # batch | elem | pair
+    cutmix_minmax: object = None         # optional (min, max) box fractions
     smoothing: float = 0.1
     num_classes: int = 1000
     # distillation

@@ -83,7 +83,8 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
                 k_mix, x, labels, num_classes=thp.num_classes,
                 mixup_alpha=thp.mixup, cutmix_alpha=thp.cutmix,
                 prob=thp.mixup_prob, switch_prob=thp.mixup_switch_prob,
-                smoothing=thp.smoothing)
+                smoothing=thp.smoothing, mode=thp.mixup_mode,
+                cutmix_minmax=thp.cutmix_minmax)
         else:
             targets = jax.nn.one_hot(labels, thp.num_classes)
 
@@ -177,7 +178,8 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
                 k_mix, x, labels, num_classes=thp.num_classes,
                 mixup_alpha=thp.mixup, cutmix_alpha=thp.cutmix,
                 prob=thp.mixup_prob, switch_prob=thp.mixup_switch_prob,
-                smoothing=thp.smoothing)
+                smoothing=thp.smoothing, mode=thp.mixup_mode,
+                cutmix_minmax=thp.cutmix_minmax)
         else:
             targets = jax.nn.one_hot(labels, thp.num_classes)
 
