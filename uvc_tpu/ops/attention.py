@@ -39,11 +39,16 @@ def _pad_len(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _group(b: int) -> int:
+def _group(b: int, heads: int, n_blocks: int) -> int:
     """Batch items per program: larger blocks amortize per-program
-    overhead (measured ~25% faster than one item per program on v5e)."""
+    overhead (measured ~25% faster than one item per program on v5e), but
+    the per-program VMEM footprint scales with group*heads*n_blocks and
+    must stay under the ~16M scoped limit (double-buffered block DMA +
+    f32 logits temporaries).  Budget calibrated on v5e: group*heads <= 24
+    for the 4-block forward, halved for the 7-block backward."""
+    budget_gh = max(1, 96 // n_blocks)   # fwd(4 blocks): 24; bwd(7): 13
     for g in (4, 2):
-        if b % g == 0:
+        if b % g == 0 and g * heads <= budget_gh:
             return g
     return 1
 
@@ -121,7 +126,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 
 def _call_fwd(q, k, v, scale: float, n_valid: int, interpret: bool = False):
     b, h, np_, dh = q.shape
-    g = _group(b)
+    g = _group(b, h, 4)
     spec = pl.BlockSpec((g, h, np_, dh), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     return pl.pallas_call(
@@ -138,9 +143,7 @@ def _call_fwd(q, k, v, scale: float, n_valid: int, interpret: bool = False):
 def _call_bwd(q, k, v, do, scale: float, n_valid: int,
               interpret: bool = False):
     b, h, np_, dh = q.shape
-    # 7 blocks (4 in + 3 out) double-buffered: G=4 exceeds the 16M VMEM
-    # scoped limit; G=2 fits with room for the f32 logits temporaries
-    g = min(_group(b), 2)
+    g = _group(b, h, 7)
     spec = pl.BlockSpec((g, h, np_, dh), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((b, h, np_, dh), q.dtype)
