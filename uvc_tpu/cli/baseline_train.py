@@ -88,7 +88,8 @@ def main(argv=None):
         t_args.model_path = args.teacher_path
         teacher = load_params(t_args, cfg)
 
-    logger = MetricLogger(args.output_dir, args.name)
+    logger = MetricLogger(args.output_dir, args.name,
+                          enable_tensorboard=bool(args.enable_writer))
     logger.info(f"Baseline training parameters {args}")
 
     if args.eval:

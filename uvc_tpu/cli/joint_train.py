@@ -104,7 +104,8 @@ def main(argv=None):
 
     from uvc_tpu.train.stage1 import run_stage1
     from uvc_tpu.utils.logging import MetricLogger
-    logger = MetricLogger(args.output_dir, args.name)
+    logger = MetricLogger(args.output_dir, args.name,
+                          enable_tensorboard=bool(args.enable_writer))
     logger.info(f"Training parameters {args}")
     result = run_stage1(cfg, hp, thp, train_loader=train_loader,
                         test_loader=test_loader, params=params,

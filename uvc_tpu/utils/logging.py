@@ -45,13 +45,22 @@ def is_main_process() -> bool:
 
 class MetricLogger:
     def __init__(self, output_dir: str, name: str,
-                 enable_series: bool = True):
+                 enable_series: bool = True,
+                 enable_tensorboard: bool = False):
         self.dir = os.path.join(output_dir, name)
         self.enable_series = enable_series
         self.run_id = time.strftime("%Y%m%d-%H%M%S")
+        self._tb = None
         if is_main_process():
             os.makedirs(self.dir, exist_ok=True)
             self.metrics_path = os.path.join(self.dir, "metrics.jsonl")
+            if enable_tensorboard:
+                # reference --enable_writer (joint_train.py:456-463)
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                    self._tb = SummaryWriter(os.path.join(self.dir, "tb"))
+                except Exception:
+                    self._tb = None
         self._series: Dict[str, str] = {}
 
     def log_scalars(self, step: int, scalars: Dict[str, Any]) -> None:
@@ -65,6 +74,10 @@ class MetricLogger:
                 rec[k] = v
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in rec.items():
+                if k != "step" and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
 
     def log_series(self, kind: str, step: int, value) -> None:
         """Append one {step: tensor} record to the s_/r_/gating_ series
