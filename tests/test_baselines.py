@@ -187,3 +187,52 @@ def test_ra_sampler_properties():
     # deterministic per epoch
     again = ra_sampler_indices(n, epoch=3, rank=0, num_replicas=reps)
     np.testing.assert_array_equal(per_rank[0], again)
+
+
+def test_baseline_resume_roundtrip(tmp_path):
+    """Full baseline resume (regression: msgpack restores plain dicts that
+    must be rebuilt into the optax NamedTuple template)."""
+    from uvc_tpu.baselines.finetune import run_baseline
+    from uvc_tpu.data.pipeline import SyntheticLoader
+    from uvc_tpu.train.state import TrainHParams
+    thp = TrainHParams(num_classes=10, t_total=20, warmup_steps=1,
+                       compute_dtype=jnp.float32, distillation_type=None,
+                       num_epochs=1)
+    params = _params(0)
+    train = SyntheticLoader(4, num_batches=2, img_size=CFG.img_size,
+                            num_classes=10)
+    masks = pruning.global_threshold_mask(
+        pruning.magnitude_scores(params), 0.5)
+    r1 = run_baseline(CFG, thp, train_loader=train, test_loader=None,
+                      params=params, wmasks=masks, ema_decay=0.9,
+                      output_dir=str(tmp_path), name="a")
+    ck = str(tmp_path / "a" / f"{CFG.name}_baseline_0.ckpt")
+    import dataclasses
+    thp2 = dataclasses.replace(thp, num_epochs=2)
+    r2 = run_baseline(CFG, thp2, train_loader=train, test_loader=None,
+                      params=params, ema_decay=0.9,
+                      output_dir=str(tmp_path), name="b", resume=ck)
+    assert int(r2.state.step) == 4          # 2 resumed + 2 new
+    # masks survived the roundtrip
+    assert r2.masks is not None
+    np.testing.assert_allclose(
+        np.asarray(r2.masks["blocks"]["qkv"]["kernel"]),
+        np.asarray(masks["blocks"]["qkv"]["kernel"]))
+
+
+def test_eval_crop_384_in_bounds(tmp_path):
+    """384-px eval must not center-crop beyond the resized image
+    (regression: resize_to was hardcoded to 256)."""
+    from PIL import Image
+    from uvc_tpu.data.pipeline import eval_resize_for, load_eval_image
+    assert eval_resize_for(224) == 256
+    assert eval_resize_for(384) >= 384
+    p = str(tmp_path / "img.jpg")
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 256, (500, 400, 3), np.uint8)).save(p)
+    out = load_eval_image(p, 384)
+    assert out.shape == (384, 384, 3)
+    # no zero-padded border (the old bug produced black margins)
+    assert out[:, 0].mean() > 10 and out[:, -1].mean() > 10
+    assert out[0, :].mean() > 10 and out[-1, :].mean() > 10

@@ -140,9 +140,12 @@ def test_mixup_modes_and_minmax():
     np.testing.assert_allclose(lam0[np.isfinite(lam0)].mean(),
                                lam5[np.isfinite(lam5)].mean(), atol=1e-4)
 
-    # minmax: forces cutmix; box area fraction must lie within bounds
+    # minmax box sampling (cutmix selected via switch_prob=1, matching
+    # timm where minmax pins cutmix_alpha=1 but the switch still applies):
+    # box area fraction must lie within bounds
     xo, t = mixup_cutmix(key, x, y, num_classes=3, mode="batch",
-                         cutmix_minmax=(0.3, 0.6), prob=1.0)
+                         cutmix_minmax=(0.3, 0.6), prob=1.0,
+                         switch_prob=1.0)
     changed = np.asarray((xo != x).any(-1))  # [B, H, W]
     frac = changed[0].mean()
     assert 0.3 * 0.3 * 0.8 < frac < 0.6 * 0.6 * 1.3

@@ -36,7 +36,8 @@ from uvc_tpu.distill.losses import (distillation_loss,
                                     soft_target_cross_entropy)
 from uvc_tpu.models import get_model
 from uvc_tpu.train.state import (TrainHParams, clip_global_norm,
-                                 make_weight_optimizer)
+                                 make_weight_optimizer,
+                                 zero_frozen_updates)
 from uvc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from uvc_tpu.utils.logging import AverageMeter, MetricLogger
 from uvc_tpu.utils.schedules import get_tau
@@ -116,6 +117,8 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # frozen leaves (performer prm_w) must not receive weight decay
+        updates = zero_frozen_updates(updates)
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         ema = state.ema_params
         if ema is not None:
@@ -176,21 +179,30 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
     best_acc = 0.0
 
     if resume:
+        from flax import serialization
+
         from uvc_tpu.baselines.pruning import masks_from_flat
         ck = load_checkpoint(resume)
         ema = ck.get("ema_params") or None
+        # msgpack restores plain dicts; from_state_dict rebuilds them into
+        # the optax NamedTuple template (plain tree.map raises)
         state = BaselineState(
-            step=jnp.asarray(ck["step"]), params=ck["params"],
-            opt_state=jax.tree.map(
-                lambda t, s: jnp.asarray(s).astype(t.dtype)
-                if hasattr(t, "dtype") else s,
-                state.opt_state, ck["opt_state"]),
-            ema_params=ema)
+            step=jnp.asarray(ck["step"]),
+            params=serialization.from_state_dict(state.params,
+                                                 ck["params"]),
+            opt_state=serialization.from_state_dict(state.opt_state,
+                                                    ck["opt_state"]),
+            ema_params=(serialization.from_state_dict(state.ema_params, ema)
+                        if ema is not None and state.ema_params is not None
+                        else (jax.tree.map(jnp.asarray, ema)
+                              if ema is not None else None)))
         if ck.get("masks"):
-            wmasks = masks_from_flat(ck["masks"], ck["params"])
+            wmasks = masks_from_flat(ck["masks"], state.params)
         start_epoch = int(ck.get("epoch", 0)) + 1
         global_step = int(ck["step"])
         best_acc = float(ck.get("best_acc", 0.0))
+        if gmp is not None:
+            gmp.events = int(ck.get("gmp_events", 0))
         logger.info(f"Resumed from {resume} at epoch {start_epoch}")
 
     step_fn = build_baseline_step(cfg, thp, token_selection=token_selection,
@@ -247,6 +259,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                  "masks": (masks_to_flat(wmasks, state.params)
                            if wmasks is not None else {}),
                  "step": int(state.step), "epoch": epoch,
-                 "best_acc": best_acc})
+                 "best_acc": best_acc,
+                 "gmp_events": gmp.events if gmp is not None else 0})
 
     return BaselineResult(state=state, masks=wmasks, best_acc=best_acc)

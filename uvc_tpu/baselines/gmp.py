@@ -20,8 +20,11 @@ from uvc_tpu.baselines.pruning import (global_threshold_mask,
 
 def cubic_sparsity(s_start: float, s_end: float, t: int, t_0: int,
                    pruning_times: int, delta_t: int) -> float:
-    """engine.py:24-27 verbatim math."""
-    coef = (1 - (t - t_0) / (pruning_times * delta_t)) ** 3
+    """engine.py:24-27 math, with the ramp clamped at its endpoint so
+    steps past the schedule end hold s_end instead of overshooting (the
+    reference never runs past the end; a resumed run can)."""
+    frac = min(max((t - t_0) / (pruning_times * delta_t), 0.0), 1.0)
+    coef = (1 - frac) ** 3
     return s_end + (s_start - s_end) * coef
 
 

@@ -50,12 +50,16 @@ def main(argv=None):
     p.add_argument("--repeated_aug", default=1, type=int,
                    help="RASampler 3x repeated augmentation (DeiT recipe)")
     args = p.parse_args(argv)
+    if args.eval and not args.resume:
+        p.error("--eval requires --resume <checkpoint>")
 
     from uvc_tpu.parallel.mesh import initialize_multihost
     initialize_multihost(args.coordinator, args.num_processes,
                          args.process_id)
 
     num_classes = flags.num_classes_for(args.dataset)
+    if args.img_size is None:
+        args.img_size = get_config(args.model_type).img_size
     cfg = get_config(args.model_type).replace(
         img_size=args.img_size, num_classes=num_classes)
     args.num_epochs = args.epochs

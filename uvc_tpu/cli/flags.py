@@ -36,7 +36,8 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="INERT (reference parity)")
     p.add_argument("--pretrained", type=int, default=1)
     p.add_argument("--output_dir", default="output/uvc_train", type=str)
-    p.add_argument("--img_size", default=224, type=int)
+    p.add_argument("--img_size", default=None, type=int,
+                   help="default: the model config's native size")
     p.add_argument("--train_batch_size", default=1024, type=int)
     p.add_argument("--eval_batch_size", default=64, type=int)
     p.add_argument("--eval_every", default=1000, type=int)

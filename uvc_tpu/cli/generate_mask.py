@@ -44,7 +44,8 @@ def main(argv=None):
     p.add_argument("--batch_size", default=128, type=int)
     p.add_argument("--num_batches", default=1, type=int,
                    help="scoring batches for taylor/sp")
-    p.add_argument("--input_size", default=224, type=int)
+    p.add_argument("--input_size", default=None, type=int,
+                   help="default: the model config's native size")
     p.add_argument("--seed", default=0, type=int)
     args = p.parse_args(argv)
 
@@ -53,6 +54,8 @@ def main(argv=None):
     from uvc_tpu.utils.checkpoint import save_checkpoint
 
     num_classes = flags.num_classes_for(args.dataset)
+    if args.input_size is None:
+        args.input_size = get_config(args.model_type).img_size
     cfg = get_config(args.model_type).replace(
         img_size=args.input_size, num_classes=num_classes)
 

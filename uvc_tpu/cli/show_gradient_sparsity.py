@@ -31,6 +31,8 @@ def main(argv=None):
     from uvc_tpu.models import get_model
 
     num_classes = flags.num_classes_for(args.dataset)
+    if args.img_size is None:
+        args.img_size = get_config(args.model_type).img_size
     cfg = get_config(args.model_type).replace(
         img_size=args.img_size, num_classes=num_classes)
     params = load_params(args, cfg)

@@ -13,8 +13,8 @@ Modes (timm parity):
   'pair':  like elem but sample i and its partner b-1-i share one lambda
            and one decision (timm Mixup._mix_pair).
 ``cutmix_minmax`` overrides the beta-derived box with uniformly sampled
-box sides in [min, max] fraction of H/W (timm rand_bbox_minmax), per timm
-forcing cutmix exclusively when set.
+box sides in [min, max] fraction of H/W (timm rand_bbox_minmax; timm pins
+cutmix_alpha to 1.0 when set, but the mixup/cutmix switch still applies).
 """
 
 from __future__ import annotations
@@ -67,11 +67,12 @@ def _sample_one(key, h: int, w: int, mixup_alpha, cutmix_alpha, prob,
     """Draw (lam, use_cutmix, box mask) for one mixing decision."""
     k_apply, k_switch, k_mix, k_cut, k_box = jax.random.split(key, 5)
     apply_mix = jax.random.uniform(k_apply) < prob
-    if cutmix_minmax is not None:
-        use_cutmix = jnp.asarray(True)      # timm forces cutmix w/ minmax
-    elif mixup_alpha <= 0:
+    # timm: cutmix_minmax pins cutmix_alpha to 1.0 (Mixup.__init__) but the
+    # mixup/cutmix switch still happens via switch_prob
+    cutmix_on = (cutmix_alpha > 0) or (cutmix_minmax is not None)
+    if mixup_alpha <= 0:
         use_cutmix = jnp.asarray(True)
-    elif cutmix_alpha <= 0:
+    elif not cutmix_on:
         use_cutmix = jnp.asarray(False)
     else:
         use_cutmix = jax.random.uniform(k_switch) < switch_prob

@@ -73,7 +73,8 @@ def _get_pool(num_threads: int):
 
 
 def load_batch(paths: Sequence[str], img_size: int, *, train: bool,
-               seeds: Optional[np.ndarray] = None, resize_to: int = 256,
+               seeds: Optional[np.ndarray] = None,
+               resize_to: Optional[int] = None,
                num_threads: int = 16) -> Optional[np.ndarray]:
     """Decode + transform a batch; returns [N, S, S, 3] uint8 or None when
     the native library is unavailable.  Images the native decoder rejects
@@ -81,6 +82,9 @@ def load_batch(paths: Sequence[str], img_size: int, *, train: bool,
     lib = _load_library()
     if lib is None:
         return None
+    if resize_to is None:
+        from uvc_tpu.data.pipeline import eval_resize_for
+        resize_to = eval_resize_for(img_size)
     pool = _get_pool(num_threads)
     n = len(paths)
     out = np.empty((n, img_size, img_size, 3), np.uint8)

@@ -114,9 +114,18 @@ def load_train_image(path: str, rng: np.random.Generator,
         return np.asarray(img, np.uint8)
 
 
+def eval_resize_for(size: int) -> int:
+    """Eval resize target: the reference's Resize(256)+CenterCrop(224)
+    ratio (data_utils.py:92-100), scaled to the crop size so 384-px
+    configs do not center-crop beyond the resized image."""
+    return max(size, int(round(size * 256 / 224)))
+
+
 def load_eval_image(path: str, size: int = 224,
-                    resize_to: int = 256) -> np.ndarray:
+                    resize_to: int = None) -> np.ndarray:
     from PIL import Image
+    if resize_to is None:
+        resize_to = eval_resize_for(size)
     with Image.open(path) as img:
         img = img.convert("RGB")
         img = _center_crop(img, size, resize_to)

@@ -20,18 +20,3 @@ def get_model(cfg):
         from uvc_tpu.models import t2t_vit
         return t2t_vit
     return vit
-
-
-def frozen_update_mask(params) -> list:
-    """Paths of non-trainable leaves (requires_grad=False in the
-    reference): the performer's random-feature matrix ``prm_w``
-    (token_performer.py:28-29).  Train steps zero both grads and optimizer
-    updates for these (torch skips them entirely; optax weight decay would
-    otherwise shrink them)."""
-    import jax
-    paths = []
-    for path, _ in jax.tree_util.tree_leaves_with_path(params):
-        s = jax.tree_util.keystr(path)
-        if "prm_w" in s:
-            paths.append(path)
-    return paths

@@ -304,10 +304,6 @@ def from_t2t_state_dict(sd: Mapping, cfg: ViTConfig) -> dict:
     fixed sinusoid pos_embed excluded)."""
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
     performer = cfg.tokens_type == "performer"
-    # blocks share the DeiT naming: reuse the DeiT converter for the body
-    base = {k: v for k, v in sd.items()
-            if k.startswith(("blocks.", "norm.", "head.", "cls_token"))}
-
     l = cfg.depth
 
     def stack_lin(fmt):

@@ -125,7 +125,14 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         from uvc_tpu.utils.checkpoint import load_checkpoint
         from flax import serialization
         ck = load_checkpoint(resume)
-        state = serialization.from_state_dict(state, ck["state"])
+        state = TrainState(
+            step=jnp.asarray(ck["global_step"], jnp.int32),
+            params=serialization.from_state_dict(state.params,
+                                                 ck["params"]),
+            opt_state=serialization.from_state_dict(state.opt_state,
+                                                    ck["opt_state"]),
+            cstate=serialization.from_state_dict(state.cstate,
+                                                 ck["cstate"]))
         start_epoch = int(ck.get("epoch", 0)) + 1
         resumed_step = int(ck.get("global_step", 0))
         key = jax.random.PRNGKey(int(ck.get("key_seed", seed)))
@@ -226,15 +233,14 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
 
         if save_checkpoints:
             from flax import serialization
+            # params stored once; cstate/opt_state carry the full
+            # resumable training state (AdamW moments, minimax optimizer
+            # traces, gating accumulator)
             save_checkpoint(
                 f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
                 {"params": state.params,
-                 "cstate": {"s": state.cstate.s, "r": state.cstate.r,
-                            "y": state.cstate.y, "p": state.cstate.p,
-                            "z": state.cstate.z, "eps": state.cstate.eps},
-                 # full resumable training state (AdamW moments, minimax
-                 # optimizer traces, gating accumulator, step counter)
-                 "state": serialization.to_state_dict(state),
+                 "cstate": serialization.to_state_dict(state.cstate),
+                 "opt_state": serialization.to_state_dict(state.opt_state),
                  "masks": masks, "epoch": epoch, "step": global_step,
                  "global_step": global_step, "key_seed": seed + epoch})
 
