@@ -30,7 +30,8 @@ from uvc_tpu.baselines.gmp import GMPSchedule
 from uvc_tpu.baselines.pruning import apply_weight_masks, mask_sparsity
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.data.mixup import mixup_cutmix
-from uvc_tpu.data.pipeline import normalize_on_device
+from uvc_tpu.data.pipeline import (device_prefetch,
+                                   normalize_on_device)
 from uvc_tpu.distill.losses import (distillation_loss,
                                     label_smoothing_cross_entropy,
                                     soft_target_cross_entropy)
@@ -215,13 +216,13 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         train_loader.set_epoch(epoch)
         losses = AverageMeter()
         t0 = time.time()
-        for x, y in train_loader:
+        for x, y in device_prefetch(iter(train_loader)):
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if token_selection else jnp.asarray(-1.0)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
-            xb = normalize_on_device(jnp.asarray(x))
+            xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, wmasks, xb,
-                                     jnp.asarray(y), key, tau)
+                                     y, key, tau)
             global_step += 1
             if gmp is not None:
                 new_masks = gmp.maybe_prune(global_step, state.params)

@@ -34,6 +34,27 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
+def device_prefetch(iterator, depth: int = 2):
+    """Overlap host->device transfer with compute: keep ``depth`` batches
+    in flight (jnp.asarray dispatches the copy asynchronously).  The
+    torch-world analog is DataLoader pin_memory + non_blocking copies
+    (Baseline_pruning/engine.py:44-45)."""
+    import collections
+
+    import jax.numpy as jnp
+
+    def put(item):
+        return tuple(jnp.asarray(t) for t in item)
+
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def normalize_on_device(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """uint8 [B,H,W,C] -> normalized f32; call inside the jitted step."""
     import jax.numpy as jnp

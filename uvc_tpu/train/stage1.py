@@ -31,7 +31,8 @@ from uvc_tpu.compress.minimax import init_compression_state
 from uvc_tpu.compress.resource import build_macs_table, flops_fraction
 from uvc_tpu.compress.scores import group_scores
 from uvc_tpu.compress.state import MinimaxHParams
-from uvc_tpu.data.pipeline import normalize_on_device
+from uvc_tpu.data.pipeline import (device_prefetch,
+                                   normalize_on_device)
 from uvc_tpu.models import get_model
 from uvc_tpu.ops.gumbel import block_gating_distrib
 from uvc_tpu.ops.stes import ste_ceil
@@ -180,13 +181,12 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             state = state.replace(cstate=cstate)
 
         t0 = time.time()
-        for bi, (x, y) in enumerate(train_loader):
+        for bi, (x, y) in enumerate(device_prefetch(iter(train_loader))):
             key, sub = jax.random.split(key)
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
-            xb = normalize_on_device(jnp.asarray(x))
-            state, metrics = step_fn(state, teacher_params, xb,
-                                     jnp.asarray(y), sub, tau)
+            xb = normalize_on_device(x)
+            state, metrics = step_fn(state, teacher_params, xb, y, sub, tau)
             global_step += 1
             if global_step % 50 == 0:
                 losses.update(float(metrics["loss"]))

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.compress.state import MinimaxHParams
-from uvc_tpu.data.pipeline import normalize_on_device
+from uvc_tpu.data.pipeline import (device_prefetch,
+                                   normalize_on_device)
 from uvc_tpu.train.state import TrainHParams, create_train_state
 from uvc_tpu.train.stage1 import run_validation
 from uvc_tpu.train.step import build_eval_step, build_stage2_step
@@ -65,11 +66,11 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     for epoch in range(thp.num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        for x, y in train_loader:
+        for x, y in device_prefetch(iter(train_loader)):
             key, sub = jax.random.split(key)
-            xb = normalize_on_device(jnp.asarray(x))
+            xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, masks, xb,
-                                     jnp.asarray(y), sub)
+                                     y, sub)
             global_step += 1
             if global_step % 50 == 0:
                 losses.update(float(metrics["loss"]))
