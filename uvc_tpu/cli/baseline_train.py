@@ -49,7 +49,7 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--repeated_aug", default=1, type=int,
                    help="RASampler 3x repeated augmentation (DeiT recipe)")
-    args = p.parse_args(argv)
+    args = flags.parse_with_config(p, argv)
     if args.eval and not args.resume:
         p.error("--eval requires --resume <checkpoint>")
 

@@ -21,6 +21,9 @@ from uvc_tpu.train.state import TrainHParams
 
 
 def add_common_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-c", "--config", default=None, type=str, metavar="FILE",
+                   help="YAML file whose keys override flag defaults "
+                        "(T2TViT/main.py:38-44 surface)")
     p.add_argument("--name", default="debug",
                    help="Name of this run. Used for monitoring.")
     p.add_argument("--dataset",
@@ -191,3 +194,17 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
 
 def num_classes_for(dataset: str) -> int:
     return {"cifar10": 10, "cifar100": 100}.get(dataset, 1000)
+
+
+def parse_with_config(parser: argparse.ArgumentParser, argv=None):
+    """Two-phase parse: --config YAML values become new defaults, CLI flags
+    still win (the timm/T2TViT pattern, T2TViT/main.py:38-58)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("-c", "--config", default=None, type=str)
+    known, _ = pre.parse_known_args(argv)
+    if known.config:
+        import yaml
+        with open(known.config) as f:
+            overrides = yaml.safe_load(f) or {}
+        parser.set_defaults(**overrides)
+    return parser.parse_args(argv)

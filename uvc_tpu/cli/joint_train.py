@@ -77,7 +77,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser("uvc_tpu stage-1 joint training")
     flags.add_common_flags(parser)
     flags.add_uvc_flags(parser)
-    args = parser.parse_args(argv)
+    args = flags.parse_with_config(parser, argv)
 
     from uvc_tpu.parallel.mesh import initialize_multihost
     initialize_multihost(args.coordinator, args.num_processes,

@@ -23,7 +23,7 @@ def main(argv=None):
     p.add_argument("--num_batches", default=4, type=int)
     p.add_argument("--threshold", default=0.0, type=float)
     p.add_argument("--top", default=20, type=int)
-    args = p.parse_args(argv)
+    args = flags.parse_with_config(p, argv)
 
     from uvc_tpu.cli.joint_train import build_loaders, load_params
     from uvc_tpu.data.pipeline import normalize_on_device
