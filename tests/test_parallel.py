@@ -102,3 +102,20 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_cli_joint_train_on_mesh(tmp_path):
+    """The CLI engages the device mesh (regression: drivers previously
+    never sharded, so multi-chip hosts ran single-device)."""
+    from uvc_tpu.cli.joint_train import main
+    main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--warmup_epochs", "0",
+        "--post_num_epochs", "1", "--warmup_steps", "1",
+        "--enable_patch_gating", "0", "--gating_interval", "2",
+        "--mp", "2",
+        "--output_dir", str(tmp_path), "--name", "mesh",
+    ])
+    assert (tmp_path / "mesh" / "metrics.jsonl").exists()

@@ -167,7 +167,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                  ema_decay: float = 0.0, seed: int = 0,
                  output_dir: str = "output", name: str = "baseline",
                  resume: Optional[str] = None, start_epoch: int = 0,
-                 save_checkpoints: bool = True,
+                 save_checkpoints: bool = True, mesh=None, mp: int = 1,
                  logger: Optional[MetricLogger] = None) -> BaselineResult:
     """The main.py train loop: epochs of (masked/GMP) training + eval,
     best-checkpoint tracking, full resume."""
@@ -206,6 +206,23 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
             gmp.events = int(ck.get("gmp_events", 0))
         logger.info(f"Resumed from {resume} at epoch {start_epoch}")
 
+    shard_fn = lambda t: t  # noqa: E731
+    if mesh is not None:
+        from uvc_tpu.parallel.mesh import (replicate, shard_batch,
+                                           shard_params)
+        state = BaselineState(
+            step=state.step,
+            params=shard_params(state.params, mesh, mp=mp),
+            opt_state=(replicate(state.opt_state, mesh) if mp == 1
+                       else state.opt_state),
+            ema_params=(shard_params(state.ema_params, mesh, mp=mp)
+                        if state.ema_params is not None else None))
+        if teacher_params is not None:
+            teacher_params = shard_params(teacher_params, mesh, mp=mp)
+        if wmasks is not None:
+            wmasks = replicate(wmasks, mesh)
+        shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
+
     step_fn = build_baseline_step(cfg, thp, token_selection=token_selection,
                                   token_number=token_number,
                                   ema_decay=ema_decay)
@@ -220,6 +237,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if token_selection else jnp.asarray(-1.0)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
+            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, wmasks, xb,
                                      y, key, tau)

@@ -117,6 +117,12 @@ def main(argv=None):
                           delta_t=args.delta_t,
                           pruning_times=args.pruning_times)
 
+    mesh = None
+    if len(jax.devices()) > 1 or args.mp > 1:
+        from uvc_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, mp=args.mp)
+        logger.info(f"Mesh: {dict(mesh.shape)}")
+
     result = run_baseline(
         cfg, thp, train_loader=train_loader, test_loader=test_loader,
         params=params, wmasks=wmasks, teacher_params=teacher, gmp=gmp,
@@ -124,7 +130,8 @@ def main(argv=None):
         token_number=args.token_number,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
         seed=args.seed, output_dir=args.output_dir, name=args.name,
-        resume=args.resume, start_epoch=args.start_epoch, logger=logger)
+        resume=args.resume, start_epoch=args.start_epoch,
+        mesh=mesh, mp=args.mp, logger=logger)
     logger.info(f"Best accuracy: {result.best_acc * 100:.3f}%")
 
 

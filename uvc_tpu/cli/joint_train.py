@@ -104,6 +104,12 @@ def main(argv=None):
     else:
         teacher = params
 
+    mesh = None
+    if len(jax.devices()) > 1 or args.mp > 1:
+        from uvc_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, mp=args.mp)
+        print(f"Mesh: {dict(mesh.shape)}")
+
     from uvc_tpu.train.stage1 import run_stage1
     from uvc_tpu.utils.logging import MetricLogger
     logger = MetricLogger(args.output_dir, args.name,
@@ -114,7 +120,8 @@ def main(argv=None):
                         teacher_params=teacher, seed=args.seed,
                         output_dir=args.output_dir, name=args.name,
                         log_interval=args.log_interval,
-                        resume=args.resume, logger=logger)
+                        resume=args.resume, mesh=mesh, mp=args.mp,
+                        logger=logger)
 
     # inline stage-2 (reference: joint_train.py:1032-1033)
     from uvc_tpu.train.stage2 import run_stage2
@@ -124,7 +131,7 @@ def main(argv=None):
                teacher_params=teacher, train_loader=train_loader,
                test_loader=test_loader, seed=args.seed,
                output_dir=args.output_dir, name=args.name + "_post",
-               eval_every=args.eval_every,
+               eval_every=args.eval_every, mesh=mesh, mp=args.mp,
                world_batch=args.train_batch_size, logger=logger)
 
 

@@ -96,7 +96,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                seed: int = 42, output_dir: str = "output",
                name: str = "debug", log_interval: int = 2000,
                eval_each_epoch: bool = True, save_checkpoints: bool = True,
-               resume: Optional[str] = None,
+               resume: Optional[str] = None, mesh=None, mp: int = 1,
                logger: Optional[MetricLogger] = None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
@@ -115,6 +115,21 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     # copy params into the (donated) train state: the caller keeps ownership
     # of its buffers — they routinely alias teacher_params and outlive stage 1
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, cstate)
+    # multi-device SPMD: shard/replicate state over the mesh so jit
+    # partitions the step (batch on "data", optional Megatron TP on
+    # "model"); XLA inserts the gradient psum over ICI
+    shard_fn = lambda t: t  # noqa: E731
+    if mesh is not None:
+        from uvc_tpu.parallel.mesh import (replicate, shard_batch,
+                                           shard_params)
+        state = state.replace(
+            params=shard_params(state.params, mesh, mp=mp),
+            opt_state=(replicate(state.opt_state, mesh) if mp == 1
+                       else state.opt_state),
+            cstate=replicate(state.cstate, mesh))
+        teacher_params = shard_params(
+            jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
+        shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
     start_epoch = 1
     resumed_step = 0
     if resume:
@@ -185,6 +200,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             key, sub = jax.random.split(key)
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
+            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, xb, y, sub, tau)
             global_step += 1

@@ -40,7 +40,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                test_loader, seed: int = 42, output_dir: str = "output",
                name: str = "post", eval_every: int = 1000,
                world_batch: Optional[int] = None,
-               save_checkpoints: bool = True,
+               save_checkpoints: bool = True, mesh=None, mp: int = 1,
                logger: Optional[MetricLogger] = None) -> Stage2Result:
     logger = logger or MetricLogger(output_dir, name)
     if teacher_params is None:
@@ -54,6 +54,18 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
 
     # copy params into the (donated) train state: callers keep their buffers
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
+    shard_fn = lambda t: t  # noqa: E731
+    if mesh is not None:
+        from uvc_tpu.parallel.mesh import (replicate, shard_batch,
+                                           shard_params)
+        state = state.replace(
+            params=shard_params(state.params, mesh, mp=mp),
+            opt_state=(replicate(state.opt_state, mesh) if mp == 1
+                       else state.opt_state))
+        teacher_params = shard_params(
+            jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
+        masks = replicate(masks, mesh)
+        shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
     step_fn = build_stage2_step(cfg, hp, thp)
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 
@@ -68,6 +80,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         t0 = time.time()
         for x, y in device_prefetch(iter(train_loader)):
             key, sub = jax.random.split(key)
+            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, masks, xb,
                                      y, sub)
