@@ -54,8 +54,8 @@ def test_cli_joint_train_t2t(tmp_path):
     from uvc_tpu.cli.joint_train import main
     main([
         "--model_type", "t2t_vit_7", "--dataset", "synthetic",
-        "--img_size", "64", "--train_batch_size", "4",
-        "--eval_batch_size", "4", "--synthetic_steps", "2",
+        "--img_size", "64", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
         "--num_epochs", "1", "--warmup_epochs", "1",
         "--post_num_epochs", "0", "--warmup_steps", "1",
         "--enable_patch_gating", "0", "--gating_interval", "2",

@@ -100,5 +100,12 @@ def replicate(tree, mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     """Shard the leading (batch) axis over the data axis."""
+    dp = mesh.shape["data"]
+    for leaf in jax.tree.leaves(batch):
+        if leaf.shape[0] % dp != 0:
+            raise ValueError(
+                f"per-host batch {leaf.shape[0]} is not divisible by the "
+                f"data-parallel mesh size {dp}; pick --train_batch_size "
+                f"as a multiple of it")
     sharding = NamedSharding(mesh, P("data"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
