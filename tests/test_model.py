@@ -147,3 +147,31 @@ def test_cait_forward_and_grad():
     gp = g["blocks"]["proj_l"]["kernel"]
     assert bool(jnp.any(gp != 0))  # talking-head mixers receive gradient
     assert bool(jnp.any(g["blocks_ca"]["q"]["kernel"] != 0))
+
+
+def test_t2t_ablation_variants():
+    """SE / Ghost / Dense T2T ablations (T2TViT/models/t2t_vit_*.py)."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import get_model, t2t_ablations
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    for name, kw in (
+        ("t2t_vit_14_se", dict(embed_dim=32, depth=2, num_heads=2,
+                               token_dim=16)),
+        ("t2t_vit_16_ghost", dict(embed_dim=32, depth=2, num_heads=2,
+                                  token_dim=16)),
+        ("t2t_vit_dense", dict(embed_dim=32, num_heads=2, token_dim=16,
+                               growth_rate=16,
+                               dense_block_config=(1, 1))),
+    ):
+        cfg = get_config(name).replace(img_size=64, num_classes=5, **kw)
+        assert get_model(cfg) is t2t_ablations
+        params = t2t_ablations.init_params(jax.random.PRNGKey(1), cfg)
+        out = t2t_ablations.apply(params, x, cfg, train=True)
+        assert out.logits.shape == (2, 5), name
+        assert bool(jnp.all(jnp.isfinite(out.logits))), name
+    # dense grows channels: 32 + 1*16 -> transition halves -> +16
+    cfg = get_config("t2t_vit_dense").replace(
+        img_size=64, num_classes=5, embed_dim=32, num_heads=2,
+        token_dim=16, growth_rate=16, dense_block_config=(1, 1))
+    params = t2t_ablations.init_params(jax.random.PRNGKey(1), cfg)
+    assert params["head"]["kernel"].shape[0] == (32 + 16) // 2 + 16

@@ -55,6 +55,10 @@ class ViTConfig:
     # backbone with this many class-attention blocks.
     cls_attn_layers: int = 0
     layer_scale_init: float = 1e-5
+    # T2T architecture ablations (T2TViT/models/t2t_vit_{se,ghost,dense}.py)
+    t2t_variant: str = "none"       # none | se | ghost | dense
+    growth_rate: int = 64
+    dense_block_config: Tuple[int, ...] = (3, 6, 6, 4)
 
     @property
     def head_size(self) -> int:
@@ -190,6 +194,21 @@ CONFIGS = {
     "t2t_vit_14_wide": ViTConfig(
         name="t2t_vit_14_wide", tokens_type="performer", embed_dim=768,
         depth=4, num_heads=12, mlp_ratio=3.0, qkv_bias=False,
+        sinusoid_pos_embed=True),
+    # T2T architecture ablations (t2t_vit_se.py:160, t2t_vit_ghost.py:188,
+    # t2t_vit_dense.py:163)
+    "t2t_vit_14_se": ViTConfig(
+        name="t2t_vit_14_se", tokens_type="performer", t2t_variant="se",
+        embed_dim=384, depth=14, num_heads=6, mlp_ratio=3.0,
+        qkv_bias=False, sinusoid_pos_embed=True),
+    "t2t_vit_16_ghost": ViTConfig(
+        name="t2t_vit_16_ghost", tokens_type="performer",
+        t2t_variant="ghost", embed_dim=384, depth=16, num_heads=6,
+        mlp_ratio=3.0, qkv_bias=False, sinusoid_pos_embed=True),
+    "t2t_vit_dense": ViTConfig(
+        name="t2t_vit_dense", tokens_type="performer", t2t_variant="dense",
+        embed_dim=128, num_heads=8, mlp_ratio=2.0, growth_rate=64,
+        dense_block_config=(3, 6, 6, 4), qkv_bias=False,
         sinusoid_pos_embed=True),
     # CaiT baselines (Baseline_pruning/cait_models.py:256-400)
     "cait_XS24": ViTConfig(name="cait_XS24", img_size=384, embed_dim=288,

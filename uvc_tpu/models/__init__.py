@@ -17,6 +17,9 @@ def get_model(cfg):
         from uvc_tpu.models import cait
         return cait
     if cfg.tokens_type != "none":
+        if cfg.t2t_variant != "none":
+            from uvc_tpu.models import t2t_ablations
+            return t2t_ablations
         from uvc_tpu.models import t2t_vit
         return t2t_vit
     return vit
