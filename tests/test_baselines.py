@@ -236,3 +236,31 @@ def test_eval_crop_384_in_bounds(tmp_path):
     # no zero-padded border (the old bug produced black margins)
     assert out[:, 0].mean() > 10 and out[:, -1].mean() > 10
     assert out[0, :].mean() > 10 and out[-1, :].mean() > 10
+
+
+def test_inat_reader(tmp_path):
+    """INat annotation-json reader on a synthesized mini dataset
+    (Baseline_pruning/datasets.py:62-100 format)."""
+    import json
+    from uvc_tpu.data.pipeline import FolderLoader, load_inat
+    root = tmp_path
+    cats = [{"name": "plantae"}, {"name": "aves"}, {"name": "fungi"}]
+    (root / "categories.json").write_text(json.dumps(cats))
+    imgs, anns = [], []
+    for i, cid in enumerate([2, 0, 2, 1]):
+        imgs.append({"file_name": f"train_val2018/x/{cid}/img{i}.jpg"})
+        anns.append({"category_id": cid})
+    (root / "train2018.json").write_text(
+        json.dumps({"images": imgs, "annotations": anns}))
+    (root / "val2018.json").write_text(
+        json.dumps({"images": imgs[:2], "annotations": anns[:2]}))
+    paths, labels, ncls = load_inat(str(root), train=True)
+    assert ncls == 3
+    assert len(paths) == 4
+    # dense remapping in first-seen order: cid 2 -> 0, cid 0 -> 1, cid 1 -> 2
+    np.testing.assert_array_equal(labels, [0, 1, 0, 2])
+    vpaths, vlabels, _ = load_inat(str(root), train=False)
+    assert len(vpaths) == 2
+    # pre-resolved tuple plugs into FolderLoader
+    ld = FolderLoader((paths, labels), 2, train=True, img_size=32)
+    assert len(ld.classes) == 3

@@ -179,6 +179,41 @@ def load_split_file(root: str, txt: str, rate: float = 1.0):
     return paths[keep].tolist(), labels[keep]
 
 
+def load_inat(root: str, train: bool = True, year: int = 2018,
+              category: str = "name"):
+    """iNaturalist annotation-json reader (Baseline_pruning/
+    datasets.py:62-100, INatDataset): reads train{year}.json /
+    val{year}.json + categories.json, remaps category ids to a dense
+    label space keyed by the chosen taxonomic ``category`` level.
+
+    Returns (paths, labels, num_classes) — plug the result into a
+    FolderLoader-style consumer or ArrayLoader after decoding.
+    """
+    import json
+
+    with open(os.path.join(
+            root, f"{'train' if train else 'val'}{year}.json")) as f:
+        data = json.load(f)
+    with open(os.path.join(root, "categories.json")) as f:
+        data_catg = json.load(f)
+    with open(os.path.join(root, f"train{year}.json")) as f:
+        data_train = json.load(f)
+
+    targeter = {}
+    for elem in data_train["annotations"]:
+        king = data_catg[int(elem["category_id"])][category]
+        if king not in targeter:
+            targeter[king] = len(targeter)
+
+    paths, labels = [], []
+    for elem in data["images"]:
+        cut = elem["file_name"].split("/")
+        target_current = int(cut[2])
+        paths.append(os.path.join(root, cut[0], cut[2], cut[3]))
+        labels.append(targeter[data_catg[target_current][category]])
+    return paths, np.asarray(labels, np.int64), len(targeter)
+
+
 def ra_sampler_indices(n: int, epoch: int, rank: int, num_replicas: int,
                        shuffle: bool = True) -> np.ndarray:
     """Repeated-augmentation sampling (DeiT recipe) — RASampler semantics
@@ -212,6 +247,10 @@ class FolderLoader:
         if split_file:
             self.paths, self.labels = load_split_file(root, split_file,
                                                       split_rate)
+            self.classes = sorted(set(int(c) for c in self.labels))
+        elif isinstance(root, tuple):
+            # pre-resolved (paths, labels) — e.g. load_inat output
+            self.paths, self.labels = root[0], np.asarray(root[1])
             self.classes = sorted(set(int(c) for c in self.labels))
         else:
             self.paths, self.labels, self.classes = scan_image_folder(root)
