@@ -253,6 +253,8 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
             if global_step % 50 == 0:
                 losses.update(float(metrics["loss"]))
         dt = time.time() - t0
+        if losses.count == 0:
+            losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Baseline Epoch {epoch}] {dt:.1f}s "
                     f"loss {losses.avg:.4f}")
 

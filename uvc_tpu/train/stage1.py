@@ -219,6 +219,8 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                                       state.params["block_gating"])
         dt = time.time() - t0
         imgs = steps_per_epoch * train_loader.batch_size
+        if losses.count == 0:
+            losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Epoch {epoch}] {dt:.1f}s "
                     f"({imgs / max(dt, 1e-9):.1f} img/s) "
                     f"loss {losses.avg:.4f}")

@@ -102,6 +102,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                             {"params": state.params, "masks": masks,
                              "step": global_step, "acc": acc})
         dt = time.time() - t0
+        if losses.count == 0:
+            losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Stage2 Epoch {epoch}] {dt:.1f}s loss {losses.avg:.4f}")
         losses.reset()
 
