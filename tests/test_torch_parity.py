@@ -205,3 +205,73 @@ def test_token_performer_matches_torch():
         ref = tm(torch.from_numpy(x)).numpy()
     out = apply_performer(p, jnp.asarray(x), dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_bottleneck_matches_torch():
+    """PreActBottleneck + weight-standardized conv + GroupNorm
+    (modeling_resnet.py:36-92), including the stride-2 projection path
+    whose GroupNorm uses groups == channels."""
+    cin, cout, cmid, stride = 64, 128, 32, 2
+
+    class TorchStd(nn.Conv2d):
+        def forward(self, x):
+            w = self.weight
+            v, mm = torch.var_mean(w, dim=[1, 2, 3], keepdim=True,
+                                   unbiased=False)
+            w = (w - mm) / torch.sqrt(v + 1e-5)
+            return nn.functional.conv2d(x, w, self.bias, self.stride,
+                                        self.padding)
+
+    class TorchUnit(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gn1 = nn.GroupNorm(32, cmid, eps=1e-6)
+            self.conv1 = TorchStd(cin, cmid, 1, bias=False)
+            self.gn2 = nn.GroupNorm(32, cmid, eps=1e-6)
+            self.conv2 = TorchStd(cmid, cmid, 3, stride=stride, padding=1,
+                                  bias=False)
+            self.gn3 = nn.GroupNorm(32, cout, eps=1e-6)
+            self.conv3 = TorchStd(cmid, cout, 1, bias=False)
+            self.downsample = TorchStd(cin, cout, 1, stride=stride,
+                                       bias=False)
+            self.gn_proj = nn.GroupNorm(cout, cout)
+
+        def forward(self, x):
+            residual = self.gn_proj(self.downsample(x))
+            y = torch.relu(self.gn1(self.conv1(x)))
+            y = torch.relu(self.gn2(self.conv2(y)))
+            y = self.gn3(self.conv3(y))
+            return torch.relu(residual + y)
+
+    torch.manual_seed(3)
+    tm = TorchUnit().eval()
+    for p_ in tm.parameters():
+        if p_.dim() >= 2:
+            nn.init.normal_(p_, std=0.1)
+
+    from uvc_tpu.models.resnet import apply_bottleneck
+
+    def hwio(w):
+        return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+    p = {
+        "conv1": hwio(tm.conv1.weight),
+        "gn1": {"scale": jnp.asarray(tm.gn1.weight.detach().numpy()),
+                "bias": jnp.asarray(tm.gn1.bias.detach().numpy())},
+        "conv2": hwio(tm.conv2.weight),
+        "gn2": {"scale": jnp.asarray(tm.gn2.weight.detach().numpy()),
+                "bias": jnp.asarray(tm.gn2.bias.detach().numpy())},
+        "conv3": hwio(tm.conv3.weight),
+        "gn3": {"scale": jnp.asarray(tm.gn3.weight.detach().numpy()),
+                "bias": jnp.asarray(tm.gn3.bias.detach().numpy())},
+        "conv_proj": hwio(tm.downsample.weight),
+        "gn_proj": {"scale": jnp.asarray(tm.gn_proj.weight.detach().numpy()),
+                    "bias": jnp.asarray(tm.gn_proj.bias.detach().numpy())},
+    }
+    x = np.random.default_rng(4).normal(
+        size=(2, 16, 16, cin)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+    out = apply_bottleneck(p, jnp.asarray(x), stride=stride)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

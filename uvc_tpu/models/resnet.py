@@ -19,16 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
-def std_conv(x: jax.Array, w: jax.Array, stride: int = 1,
-             padding="SAME") -> jax.Array:
+def std_conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """Weight-standardized conv (StdConv2d, modeling_resnet.py:36-43):
-    kernel normalized over (H, W, I) per output channel, eps 1e-5."""
+    kernel normalized over (H, W, I) per output channel, eps 1e-5.
+
+    Padding is the torch convention — symmetric (k-1)//2 on both sides —
+    NOT XLA 'SAME': for stride-2 convs SAME pads asymmetrically (0, 1),
+    shifting every window by one pixel relative to the reference."""
     w32 = w.astype(jnp.float32)
     m = jnp.mean(w32, axis=(0, 1, 2), keepdims=True)
     v = jnp.var(w32, axis=(0, 1, 2), keepdims=True)
     w = ((w32 - m) * jax.lax.rsqrt(v + 1e-5)).astype(x.dtype)
+    p = (w.shape[0] - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=(stride, stride), padding=padding,
+        x, w, window_strides=(stride, stride), padding=((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
