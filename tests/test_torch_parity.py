@@ -275,3 +275,19 @@ def test_resnet_bottleneck_matches_torch():
             .permute(0, 2, 3, 1).numpy()
     out = apply_bottleneck(p, jnp.asarray(x), stride=stride)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unfold_matches_torch_exactly():
+    """nn.Unfold parity must be EXACT — the stem soft-splits are pure data
+    movement (regression: the conv-patches formulation executed as a bf16
+    convolution on TPU, injecting ~1e-2 noise)."""
+    from uvc_tpu.models.t2t_vit import _unfold
+    x = np.random.default_rng(0).normal(size=(2, 12, 12, 5)) \
+        .astype(np.float32)
+    for (k, s, p) in ((7, 4, 2), (3, 2, 1)):
+        ref = nn.Unfold(kernel_size=(k, k), stride=(s, s),
+                        padding=(p, p))(
+            torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .transpose(1, 2).numpy()
+        ours = np.asarray(_unfold(jnp.asarray(x), k, s, p))
+        np.testing.assert_array_equal(ours, ref)

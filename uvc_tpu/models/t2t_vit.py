@@ -52,14 +52,27 @@ def sinusoid_pos_embed(n_position: int, d_hid: int) -> np.ndarray:
 
 def _unfold(x: jax.Array, k: int, s: int, p: int) -> jax.Array:
     """nn.Unfold: [B, H, W, C] -> [B, L, C*k*k] with (c, kh, kw) feature
-    order."""
-    b = x.shape[0]
-    x_nchw = x.transpose(0, 3, 1, 2)
-    patches = jax.lax.conv_general_dilated_patches(
-        x_nchw, filter_shape=(k, k), window_strides=(s, s),
-        padding=((p, p), (p, p)))  # [B, C*k*k, H', W']
-    c = patches.shape[1]
-    return patches.reshape(b, c, -1).transpose(0, 2, 1)
+    order.
+
+    Implemented with explicit strided slices (a pure gather) rather than
+    ``conv_general_dilated_patches``: on TPU the conv formulation executes
+    as a real convolution at default (bf16-pass) precision, injecting
+    ~1e-2 noise into what should be an exact data movement."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    oh = (h + 2 * p - k) // s + 1
+    ow = (w + 2 * p - k) // s + 1
+    rows = []
+    for ki in range(k):
+        cols = []
+        for kj in range(k):
+            cols.append(jax.lax.slice(
+                x, (0, ki, kj, 0),
+                (b, ki + (oh - 1) * s + 1, kj + (ow - 1) * s + 1, c),
+                (1, s, s, 1)))                       # [B, oh, ow, C]
+        rows.append(jnp.stack(cols, axis=-1))        # [B, oh, ow, C, k]
+    pat = jnp.stack(rows, axis=-2)                   # [B, oh, ow, C, k, k]
+    return pat.reshape(b, oh * ow, c * k * k)
 
 
 def _init_linear(key, fan_in, fan_out):
