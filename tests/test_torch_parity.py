@@ -291,3 +291,51 @@ def test_unfold_matches_torch_exactly():
             .transpose(1, 2).numpy()
         ours = np.asarray(_unfold(jnp.asarray(x), k, s, p))
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_cait_talking_head_matches_torch():
+    """Attention_talking_head (cait_models.py:86-127): [H,H] logit mixes
+    straddling the softmax."""
+    d, h = 16, 2
+    hs = d // h
+
+    class TorchTH(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(d, 3 * d)
+            self.proj = nn.Linear(d, d)
+            self.proj_l = nn.Linear(h, h)
+            self.proj_w = nn.Linear(h, h)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, h, hs).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0] * hs ** -0.5, qkv[1], qkv[2]
+            attn = q @ k.transpose(-2, -1)
+            attn = self.proj_l(attn.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            attn = attn.softmax(dim=-1)
+            attn = self.proj_w(attn.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            x = (attn @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    torch.manual_seed(5)
+    tm = TorchTH().eval()
+    from uvc_tpu.models.cait import _talking_head_attention
+    blk = {
+        "qkv": {"kernel": jnp.asarray(tm.qkv.weight.detach().numpy().T),
+                "bias": jnp.asarray(tm.qkv.bias.detach().numpy())},
+        "proj": {"kernel": jnp.asarray(tm.proj.weight.detach().numpy().T),
+                 "bias": jnp.asarray(tm.proj.bias.detach().numpy())},
+        "proj_l": {"kernel": jnp.asarray(
+            tm.proj_l.weight.detach().numpy().T),
+            "bias": jnp.asarray(tm.proj_l.bias.detach().numpy())},
+        "proj_w": {"kernel": jnp.asarray(
+            tm.proj_w.weight.detach().numpy().T),
+            "bias": jnp.asarray(tm.proj_w.bias.detach().numpy())},
+    }
+    x = np.random.default_rng(6).normal(size=(2, 9, d)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    out = _talking_head_attention(jnp.asarray(x), blk, h, hs ** -0.5,
+                                  jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
