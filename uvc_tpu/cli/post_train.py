@@ -73,12 +73,18 @@ def main(argv=None):
     else:
         teacher = params
 
+    mesh = None
+    if len(jax.devices()) > 1 or args.mp > 1:
+        from uvc_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(dp=args.dp, mp=args.mp)
+        print(f"Mesh: {dict(mesh.shape)}")
+
     from uvc_tpu.train.stage2 import run_stage2
     run_stage2(cfg, hp, thp, params=params, masks=masks,
                teacher_params=teacher, train_loader=train_loader,
                test_loader=test_loader, seed=args.seed,
                output_dir=args.output_dir, name=args.name,
-               eval_every=args.eval_every,
+               eval_every=args.eval_every, mesh=mesh, mp=args.mp,
                world_batch=args.train_batch_size)
 
 
