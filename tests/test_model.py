@@ -175,3 +175,31 @@ def test_t2t_ablation_variants():
         token_dim=16, growth_rate=16, dense_block_config=(1, 1))
     params = t2t_ablations.init_params(jax.random.PRNGKey(1), cfg)
     assert params["head"]["kernel"].shape[0] == (32 + 16) // 2 + 16
+
+
+def test_t2t_dense_is_trainable():
+    """Regression: dense-variant params carried string/int leaves that
+    broke jax.tree.map and grad — every training driver crashed."""
+    from uvc_tpu.baselines.finetune import (build_baseline_step,
+                                            create_baseline_state)
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import t2t_ablations
+    from uvc_tpu.train.state import TrainHParams
+    cfg = get_config("t2t_vit_dense").replace(
+        img_size=64, num_classes=5, embed_dim=32, num_heads=2,
+        token_dim=16, growth_rate=16, dense_block_config=(1, 1))
+    params = t2t_ablations.init_params(jax.random.PRNGKey(0), cfg)
+    # tree.map must work (this used to raise on '<U5' leaves)
+    jax.tree.map(jnp.copy, params)
+    thp = TrainHParams(num_classes=5, t_total=10, warmup_steps=1,
+                       compute_dtype=jnp.float32, distillation_type=None,
+                       mixup=0.0, cutmix=0.0)
+    state = create_baseline_state(params, thp)
+    step = build_baseline_step(cfg, thp, donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y = jnp.zeros((2,), jnp.int32)
+    state, m = step(state, None, None, x, y, jax.random.PRNGKey(2),
+                    jnp.asarray(-1.0))
+    state, m = step(state, None, None, x, y, jax.random.PRNGKey(3),
+                    jnp.asarray(-1.0))
+    assert np.isfinite(float(m["loss"]))

@@ -119,3 +119,16 @@ def test_cli_joint_train_on_mesh(tmp_path):
         "--output_dir", str(tmp_path), "--name", "mesh",
     ])
     assert (tmp_path / "mesh" / "metrics.jsonl").exists()
+
+
+def test_ablation_params_shard_with_tp():
+    """Regression: 'blocks' substring matched 'ablation_blocks', applying
+    rank-3 TP specs to rank-2 ablation kernels."""
+    from uvc_tpu.models import t2t_ablations
+    cfg = get_config("t2t_vit_14_se").replace(
+        img_size=64, embed_dim=32, depth=2, num_heads=2, token_dim=16,
+        num_classes=5)
+    params = t2t_ablations.init_params(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(dp=4, mp=2)
+    sharded = shard_params(params, mesh, mp=2)   # must not raise
+    assert sharded["ablation_blocks"][0]["qkv"]["kernel"].shape == (32, 96)

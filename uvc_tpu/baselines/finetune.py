@@ -228,16 +228,16 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                                   ema_decay=ema_decay)
     eval_fn = build_baseline_eval_step(cfg, thp)
     t_total = len(train_loader) * thp.num_epochs
+    metrics = None
 
     for epoch in range(start_epoch, thp.num_epochs):
         train_loader.set_epoch(epoch)
         losses = AverageMeter()
         t0 = time.time()
-        for x, y in device_prefetch(iter(train_loader)):
+        for x, y in device_prefetch(iter(train_loader), put=shard_fn):
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if token_selection else jnp.asarray(-1.0)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)
-            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, wmasks, xb,
                                      y, key, tau)
@@ -253,7 +253,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
             if global_step % 50 == 0:
                 losses.update(float(metrics["loss"]))
         dt = time.time() - t0
-        if losses.count == 0:
+        if losses.count == 0 and metrics is not None:
             losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Baseline Epoch {epoch}] {dt:.1f}s "
                     f"loss {losses.avg:.4f}")
@@ -261,7 +261,10 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         if test_loader is not None:
             correct = loss_sum = count = 0
             for x, y in test_loader:
-                xb = normalize_on_device(jnp.asarray(x))
+                x, y = shard_fn((jnp.asarray(x), jnp.asarray(y))) \
+                    if mesh is not None else (jnp.asarray(x),
+                                              jnp.asarray(y))
+                xb = normalize_on_device(x)
                 m = eval_fn(state.params, wmasks, xb, jnp.asarray(y))
                 correct += int(m["correct"])
                 loss_sum += float(m["loss_sum"])

@@ -206,5 +206,10 @@ def parse_with_config(parser: argparse.ArgumentParser, argv=None):
         import yaml
         with open(known.config) as f:
             overrides = yaml.safe_load(f) or {}
+        valid = {a.dest for a in parser._actions}
+        unknown = sorted(set(overrides) - valid)
+        if unknown:
+            parser.error(f"unknown config keys in {known.config}: "
+                         f"{', '.join(unknown)}")
         parser.set_defaults(**overrides)
     return parser.parse_args(argv)

@@ -28,7 +28,7 @@ def main(argv=None):
     flags.add_uvc_flags(parser)
     parser.add_argument("--checkpoint_dir", required=True,
                         help="stage-1 checkpoint to fine-tune")
-    args = parser.parse_args(argv)
+    args = flags.parse_with_config(parser, argv)
 
     from uvc_tpu.parallel.mesh import initialize_multihost
     initialize_multihost(args.coordinator, args.num_processes,

@@ -34,17 +34,20 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
 
 
-def device_prefetch(iterator, depth: int = 2):
+def device_prefetch(iterator, depth: int = 2, put=None):
     """Overlap host->device transfer with compute: keep ``depth`` batches
-    in flight (jnp.asarray dispatches the copy asynchronously).  The
-    torch-world analog is DataLoader pin_memory + non_blocking copies
-    (Baseline_pruning/engine.py:44-45)."""
+    in flight (async dispatch).  ``put`` places a batch tuple on device —
+    default jnp.asarray; sharded runs pass their shard_fn so the copy
+    lands directly on the target NamedSharding instead of bouncing
+    through the default device.  The torch-world analog is DataLoader
+    pin_memory + non_blocking copies (Baseline_pruning/engine.py:44-45)."""
     import collections
 
     import jax.numpy as jnp
 
-    def put(item):
-        return tuple(jnp.asarray(t) for t in item)
+    if put is None:
+        def put(item):
+            return tuple(jnp.asarray(t) for t in item)
 
     buf = collections.deque()
     for item in iterator:

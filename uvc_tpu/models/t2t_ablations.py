@@ -150,6 +150,21 @@ def _ghost_mlp_apply(p, x, dtype):
 # ---------------------------------------------------------------------------
 
 
+def dense_plan(cfg: ViTConfig):
+    """Deterministic (kind, dim) sequence for the dense variant — kept OUT
+    of the params pytree (string/int leaves break jax.tree.map/grad)."""
+    plan = []
+    dim = cfg.embed_dim
+    for si, n_layers in enumerate(cfg.dense_block_config):
+        for _ in range(n_layers):
+            plan.append(("block", dim))
+            dim += cfg.growth_rate
+        if si != len(cfg.dense_block_config) - 1:
+            plan.append(("transition", dim))
+            dim //= 2
+    return plan, dim
+
+
 def init_params(key: jax.Array, cfg: ViTConfig, **_ignored) -> dict:
     d, l, f = cfg.embed_dim, cfg.depth, cfg.mlp_hidden
     base = t2t_init(key, cfg)
@@ -174,30 +189,23 @@ def init_params(key: jax.Array, cfg: ViTConfig, **_ignored) -> dict:
         return base
 
     # dense: growing dims with transitions (t2t_vit_dense.py:81-110)
+    plan, final_dim = dense_plan(cfg)
     blocks: List[dict] = []
-    dim = d
-    for si, n_layers in enumerate(cfg.dense_block_config):
-        for j in range(n_layers):
-            blk = {
-                "kind": "block", "dim": dim,
-                "ln1": _ln(dim),
-                "qkv": _lin(next(keys), dim, 3 * dim, bias=cfg.qkv_bias),
-                "proj": _lin(next(keys), dim, dim),
-                "ln2": _ln(dim),
-                "mlp": _mlp_init(next(keys), dim,
-                                 int(dim * cfg.mlp_ratio)),
-                "dense_linear": _lin(next(keys), dim, cfg.growth_rate),
-            }
-            blocks.append(blk)
-            dim = dim + cfg.growth_rate
-        if si != len(cfg.dense_block_config) - 1:
-            blocks.append({"kind": "transition", "dim": dim,
-                           "lin": _lin(next(keys), dim, dim // 2)})
-            dim = dim // 2
+    for kind, dim in plan:
+        if kind == "transition":
+            blocks.append({"lin": _lin(next(keys), dim, dim // 2)})
+            continue
+        blocks.append({
+            "ln1": _ln(dim),
+            "qkv": _lin(next(keys), dim, 3 * dim, bias=cfg.qkv_bias),
+            "proj": _lin(next(keys), dim, dim),
+            "ln2": _ln(dim),
+            "mlp": _mlp_init(next(keys), dim, int(dim * cfg.mlp_ratio)),
+            "dense_linear": _lin(next(keys), dim, cfg.growth_rate),
+        })
     base["ablation_blocks"] = blocks
-    base["final_dim"] = dim
-    base["norm"] = _ln(dim)
-    base["head"] = {"kernel": jnp.zeros((dim, cfg.num_classes)),
+    base["norm"] = _ln(final_dim)
+    base["head"] = {"kernel": jnp.zeros((final_dim, cfg.num_classes)),
                     "bias": jnp.zeros((cfg.num_classes,))}
     del base["blocks"]
     return base
@@ -220,8 +228,11 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     scale_for = lambda dim: (cfg.qk_scale if cfg.qk_scale is not None  # noqa
                              else (dim // cfg.num_heads) ** -0.5)
 
-    for blk in params["ablation_blocks"]:
-        if variant == "dense" and blk["kind"] == "transition":
+    plan = None
+    if variant == "dense":
+        plan, _ = dense_plan(cfg)
+    for li, blk in enumerate(params["ablation_blocks"]):
+        if variant == "dense" and plan[li][0] == "transition":
             t = jax.nn.gelu(_apply_lin(blk["lin"], t, dtype),
                             approximate=False)
             continue

@@ -45,7 +45,7 @@ def _compiler_params():
     try:
         return {"compiler_params": pltpu.CompilerParams(
             dimension_semantics=("parallel",))}
-    except TypeError:                      # API drift: run without the hint
+    except (TypeError, AttributeError):    # API drift: run without the hint
         return {}
 
 

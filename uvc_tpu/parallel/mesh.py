@@ -67,7 +67,7 @@ def param_partition_spec(path: str, leaf, mp: int) -> P:
     """
     if mp <= 1:
         return P()
-    if "blocks" in path:
+    if "'blocks'" in path:
         if "qkv" in path and "kernel" in path:
             return P(None, None, "model")
         if "fc1" in path and "kernel" in path:
@@ -99,13 +99,22 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard the leading (batch) axis over the data axis."""
+    """Shard the leading (batch) axis over the data axis.
+
+    Multi-host: each process holds its own per-host slice (the loaders
+    shard by jax.process_index), so the global array is assembled with
+    make_array_from_process_local_data; single-host uses a plain
+    device_put to the NamedSharding."""
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     dp = mesh.shape["data"]
     for leaf in jax.tree.leaves(batch):
         if leaf.shape[0] % dp != 0:
             raise ValueError(
-                f"per-host batch {leaf.shape[0]} is not divisible by the "
+                f"batch {leaf.shape[0]} is not divisible by the "
                 f"data-parallel mesh size {dp}; pick --train_batch_size "
                 f"as a multiple of it")
-    sharding = NamedSharding(mesh, P("data"))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

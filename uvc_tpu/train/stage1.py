@@ -64,13 +64,15 @@ def expectation_and_real_flops(params, cstate, cfg: ViTConfig,
 
 
 def run_validation(eval_step, params, masks, loader, logger,
-                   step: int) -> float:
+                   step: int, shard_fn=None) -> float:
     correct = 0
     loss_sum = 0.0
     count = 0
     key = jax.random.PRNGKey(0)
     for x, y in loader:
         key, sub = jax.random.split(key)
+        if shard_fn is not None:
+            x, y = shard_fn((jnp.asarray(x), jnp.asarray(y)))
         xb = normalize_on_device(jnp.asarray(x))
         m = eval_step(params, masks, xb, jnp.asarray(y), sub)
         correct += int(m["correct"])
@@ -115,21 +117,6 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     # copy params into the (donated) train state: the caller keeps ownership
     # of its buffers — they routinely alias teacher_params and outlive stage 1
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, cstate)
-    # multi-device SPMD: shard/replicate state over the mesh so jit
-    # partitions the step (batch on "data", optional Megatron TP on
-    # "model"); XLA inserts the gradient psum over ICI
-    shard_fn = lambda t: t  # noqa: E731
-    if mesh is not None:
-        from uvc_tpu.parallel.mesh import (replicate, shard_batch,
-                                           shard_params)
-        state = state.replace(
-            params=shard_params(state.params, mesh, mp=mp),
-            opt_state=(replicate(state.opt_state, mesh) if mp == 1
-                       else state.opt_state),
-            cstate=replicate(state.cstate, mesh))
-        teacher_params = shard_params(
-            jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
-        shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
     start_epoch = 1
     resumed_step = 0
     if resume:
@@ -153,6 +140,22 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         resumed_step = int(ck.get("global_step", 0))
         key = jax.random.PRNGKey(int(ck.get("key_seed", seed)))
         logger.info(f"Resumed stage-1 from {resume} at epoch {start_epoch}")
+    # multi-device SPMD (AFTER resume, so restored arrays get mesh
+    # placement): shard/replicate state over the mesh so jit partitions
+    # the step (batch on "data", optional Megatron TP on "model"); XLA
+    # inserts the gradient psum over ICI
+    shard_fn = lambda t: t  # noqa: E731
+    if mesh is not None:
+        from uvc_tpu.parallel.mesh import (replicate, shard_batch,
+                                           shard_params)
+        state = state.replace(
+            params=shard_params(state.params, mesh, mp=mp),
+            opt_state=(replicate(state.opt_state, mesh) if mp == 1
+                       else state.opt_state),
+            cstate=replicate(state.cstate, mesh))
+        teacher_params = shard_params(
+            jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
+        shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
     total_param = float(total_maskable_params(params))
     logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
                 f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")
@@ -167,6 +170,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     global_step = resumed_step
     losses = AverageMeter()
     masks = None
+    metrics = None
 
     for epoch in range(start_epoch, thp.num_epochs + 1):
         warmup = epoch <= thp.warmup_epochs
@@ -196,11 +200,11 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             state = state.replace(cstate=cstate)
 
         t0 = time.time()
-        for bi, (x, y) in enumerate(device_prefetch(iter(train_loader))):
+        for bi, (x, y) in enumerate(
+                device_prefetch(iter(train_loader), put=shard_fn)):
             key, sub = jax.random.split(key)
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
-            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, xb, y, sub, tau)
             global_step += 1
@@ -219,7 +223,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                                       state.params["block_gating"])
         dt = time.time() - t0
         imgs = steps_per_epoch * train_loader.batch_size
-        if losses.count == 0:
+        if losses.count == 0 and metrics is not None:
             losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Epoch {epoch}] {dt:.1f}s "
                     f"({imgs / max(dt, 1e-9):.1f} img/s) "
@@ -246,7 +250,9 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
 
         if eval_each_epoch and test_loader is not None:
             acc = run_validation(eval_step, state.params, masks, test_loader,
-                                 logger, global_step)
+                                 logger, global_step,
+                                 shard_fn=(None if mesh is None
+                                           else shard_fn))
             best_acc = max(best_acc, acc)
 
         if save_checkpoints:

@@ -73,14 +73,14 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     best_acc = 0.0
     global_step = 0
     losses = AverageMeter()
+    metrics = None
 
     logger.info("***** [Stage 2] Post Training *****")
     for epoch in range(thp.num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        for x, y in device_prefetch(iter(train_loader)):
+        for x, y in device_prefetch(iter(train_loader), put=shard_fn):
             key, sub = jax.random.split(key)
-            x, y = shard_fn((x, y))
             xb = normalize_on_device(x)
             state, metrics = step_fn(state, teacher_params, masks, xb,
                                      y, sub)
@@ -93,7 +93,9 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             if (eval_every and global_step % eval_every == 0
                     and test_loader is not None):
                 acc = run_validation(eval_step, state.params, masks,
-                                     test_loader, logger, global_step)
+                                     test_loader, logger, global_step,
+                                     shard_fn=(None if mesh is None
+                                               else shard_fn))
                 if acc > best_acc:
                     best_acc = acc
                     if save_checkpoints:
@@ -102,13 +104,15 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                             {"params": state.params, "masks": masks,
                              "step": global_step, "acc": acc})
         dt = time.time() - t0
-        if losses.count == 0:
+        if losses.count == 0 and metrics is not None:
             losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Stage2 Epoch {epoch}] {dt:.1f}s loss {losses.avg:.4f}")
         losses.reset()
 
     if test_loader is not None:
         acc = run_validation(eval_step, state.params, masks, test_loader,
-                             logger, global_step)
+                             logger, global_step,
+                             shard_fn=(None if mesh is None
+                                       else shard_fn))
         best_acc = max(best_acc, acc)
     return Stage2Result(state=state, best_acc=best_acc)
