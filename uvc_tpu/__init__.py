@@ -24,3 +24,23 @@ analytic FLOPs model instead of runtime MACs threading.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import uvc_tpu` light)."""
+    import importlib
+    lazy = {
+        "get_config": ("uvc_tpu.configs", "get_config"),
+        "CONFIGS": ("uvc_tpu.configs", "CONFIGS"),
+        "get_model": ("uvc_tpu.models", "get_model"),
+        "run_stage1": ("uvc_tpu.train.stage1", "run_stage1"),
+        "run_stage2": ("uvc_tpu.train.stage2", "run_stage2"),
+        "run_baseline": ("uvc_tpu.baselines.finetune", "run_baseline"),
+        "compact_model": ("uvc_tpu.infer.compact", "compact_model"),
+        "apply_compact": ("uvc_tpu.infer.compact", "apply_compact"),
+        "fused_attention": ("uvc_tpu.ops.attention", "fused_attention"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'uvc_tpu' has no attribute {name!r}")
