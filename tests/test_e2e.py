@@ -16,7 +16,7 @@ def test_cli_joint_train_tiny(tmp_path):
         "--zlr_schedule_list", "1,5", "--gating_interval", "2",
         "--enable_patch_gating", "0", "--distillation-type", "soft",
         "--eval_every", "3",
-        "--output_dir", str(tmp_path), "--name", "smoke",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "smoke",
     ])
     out = tmp_path / "smoke"
     assert (out / "metrics.jsonl").exists()
@@ -34,7 +34,7 @@ def test_stage2_cli_from_ckpt(tmp_path):
         "--num_epochs", "1", "--warmup_epochs", "1",
         "--post_num_epochs", "1", "--warmup_steps", "1",
         "--enable_patch_gating", "0",
-        "--output_dir", str(tmp_path), "--name", "s1",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "s1",
     ])
     ckpt = sorted((tmp_path / "s1").glob("*.ckpt"))[0]
     post_main([
@@ -43,7 +43,7 @@ def test_stage2_cli_from_ckpt(tmp_path):
         "--eval_batch_size", "8", "--synthetic_steps", "2",
         "--num_epochs", "1", "--enable_patch_gating", "0",
         "--checkpoint_dir", str(ckpt), "--eval_every", "2",
-        "--output_dir", str(tmp_path), "--name", "s2",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "s2",
     ])
     assert (tmp_path / "s2" / "metrics.jsonl").exists()
 
@@ -59,7 +59,7 @@ def test_cli_joint_train_t2t(tmp_path):
         "--num_epochs", "1", "--warmup_epochs", "1",
         "--post_num_epochs", "0", "--warmup_steps", "1",
         "--enable_patch_gating", "0", "--gating_interval", "2",
-        "--output_dir", str(tmp_path), "--name", "t2t",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "t2t",
     ])
     assert (tmp_path / "t2t" / "metrics.jsonl").exists()
 
@@ -79,7 +79,7 @@ def test_stage1_full_resume(tmp_path):
         "--warmup_epochs", "0", "--post_num_epochs", "0",
         "--warmup_steps", "1", "--enable_patch_gating", "0",
         "--gating_interval", "2", "--enable_warmup", "0",
-        "--output_dir", str(tmp_path),
+        "--dp", "1", "--output_dir", str(tmp_path),
     ]
     main(common + ["--num_epochs", "1", "--name", "a"])
     ck1 = load_checkpoint(str(tmp_path / "a" / "testing_1.ckpt"))

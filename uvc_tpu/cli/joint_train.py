@@ -105,7 +105,11 @@ def main(argv=None):
         teacher = params
 
     mesh = None
-    if len(jax.devices()) > 1 or args.mp > 1:
+    # --dp 1 --mp 1 forces single-device (smoke tests); default engages
+    # the full mesh whenever more than one device is visible
+    if (args.dp == 1 and args.mp == 1):
+        pass
+    elif len(jax.devices()) > 1 or args.mp > 1:
         from uvc_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(dp=args.dp, mp=args.mp)
         print(f"Mesh: {dict(mesh.shape)}")
