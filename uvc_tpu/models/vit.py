@@ -142,24 +142,21 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _attention(x, blk, num_heads, scale, attn_mask_row, dtype):
-    from uvc_tpu.ops.attention import attention_core
-    b, n, d = x.shape
-    hs = d // num_heads
-    qkv = (x @ blk["qkv"]["kernel"].astype(dtype)
-           + blk["qkv"]["bias"].astype(dtype))
-    qkv = qkv.reshape(b, n, 3, num_heads, hs)
-    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    # fused Pallas attention on TPU (logits/probs never leave VMEM);
-    # naive jnp on CPU (see ops/attention.py)
-    ctx = attention_core(q, k, v, scale).astype(dtype)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d)
-    if attn_mask_row is not None:
-        # structural head/dim pruning: identical to zeroing proj's input
-        # columns (reference masks W1 columns, uvc_utils.py:381-392).
-        ctx = ctx * attn_mask_row.astype(dtype)
-    out = (ctx @ blk["proj"]["kernel"].astype(dtype)
-           + blk["proj"]["bias"].astype(dtype))
-    return out
+    from uvc_tpu.ops.attention import layer_attention
+    d = x.shape[-1]
+    # the whole sublayer (qkv matmul -> multi-head attention -> structural
+    # ctx mask [= zeroing proj input columns, uvc_utils.py:381-392] ->
+    # output projection) runs as ONE fused Pallas program on TPU: qkv
+    # activations and attention probabilities never touch HBM, weights
+    # stay VMEM-resident across the batch grid
+    mask = attn_mask_row.astype(dtype) if attn_mask_row is not None \
+        else jnp.ones((d,), dtype)
+    return layer_attention(
+        x, blk["qkv"]["kernel"].astype(dtype),
+        blk["qkv"]["bias"].astype(dtype),
+        blk["proj"]["kernel"].astype(dtype),
+        blk["proj"]["bias"].astype(dtype), mask,
+        num_heads=num_heads, scale=scale)
 
 
 def _mlp(x, blk, mlp_mask_row, dtype):
