@@ -160,6 +160,12 @@ def _attention(x, blk, num_heads, scale, attn_mask_row, dtype):
 
 
 def _mlp(x, blk, mlp_mask_row, dtype):
+    # NOTE: a fused fc1/gelu/fc2 Pallas kernel was measured SLOWER here
+    # (-5% step): splitting XLA's single [B*N, D] matmul into per-program
+    # tiles costs more MXU efficiency than the saved HBM round trip of the
+    # hidden activations. The attention sublayer fuses (ops/attention.py
+    # fused_layer_attention) because its per-head compute is small and
+    # VPU-bound; the MLP is left to XLA.
     h = (x @ blk["fc1"]["kernel"].astype(dtype)
          + blk["fc1"]["bias"].astype(dtype))
     # gelu in compute dtype — matches torch AMP autocast, which runs GELU
