@@ -115,7 +115,7 @@ def compact_model(params: dict, masks: Dict[str, jax.Array],
 def apply_compact(layers: List[dict], top: dict, x: jax.Array,
                   cfg: ViTConfig, *, dtype=jnp.bfloat16) -> ForwardOutput:
     """Inference forward of the compacted model (eval semantics)."""
-    from uvc_tpu.ops.attention import attention_core
+    from uvc_tpu.ops.attention import layer_attention
     eps = cfg.layer_norm_eps
     b = x.shape[0]
     t = vit.patch_embed(top, x, cfg, dtype)
@@ -133,17 +133,15 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
         hk = blk["num_heads"]
         z = _layer_norm(t, jnp.asarray(blk["ln1"]["scale"]),
                         jnp.asarray(blk["ln1"]["bias"]), eps)
-        n = z.shape[1]
-        qkv = (z @ jnp.asarray(blk["qkv"]["kernel"]).astype(dtype)
-               + jnp.asarray(blk["qkv"]["bias"]).astype(dtype))
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
-        k = k.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
-        v = v.reshape(b, n, hk, -1).transpose(0, 2, 1, 3)
-        ctx = attention_core(q, k, v, scale).astype(dtype)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, -1)
-        t = t + (ctx @ jnp.asarray(blk["proj"]["kernel"]).astype(dtype)
-                 + jnp.asarray(blk["proj"]["bias"]).astype(dtype))
+        da = blk["proj"]["kernel"].shape[0]
+        # one fused program per layer (rectangular model/attention widths;
+        # the within-head vmask is folded into proj rows at compaction)
+        t = t + layer_attention(
+            z, jnp.asarray(blk["qkv"]["kernel"]).astype(dtype),
+            jnp.asarray(blk["qkv"]["bias"]).astype(dtype),
+            jnp.asarray(blk["proj"]["kernel"]).astype(dtype),
+            jnp.asarray(blk["proj"]["bias"]).astype(dtype),
+            jnp.ones((da,), dtype), num_heads=hk, scale=scale)
         z = _layer_norm(t, jnp.asarray(blk["ln2"]["scale"]),
                         jnp.asarray(blk["ln2"]["bias"]), eps)
         hdn = (z @ jnp.asarray(blk["fc1"]["kernel"]).astype(dtype)

@@ -245,6 +245,8 @@ def _layer_group(b: int, d: int, np_: int) -> int:
 def _layer_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
                       mask_ref, o_ref, *, scale: float, n_valid: int,
                       heads: int, group: int, d: int):
+    # d here is the ATTENTION width (wqkv out // 3); the model width is
+    # x_ref's last dim — they differ for compacted serving models
     np_ = x_ref.shape[-2]
     dh = d // heads
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
@@ -289,7 +291,7 @@ def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
     backward recomputes qkv with XLA matmuls and reuses the fused
     attention-core backward kernel.
     """
-    b, n, d = x.shape
+    b, n, _ = x.shape
     np_ = _pad_len(n)
     if np_ != n:
         x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
@@ -301,9 +303,12 @@ def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
                  num_heads):
-    b, np_, d = x.shape
-    g = _layer_group(b, d, np_)
-    xspec = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
+    b, np_, dm = x.shape              # model width
+    da = wqkv.shape[1] // 3           # attention width (== dm pre-compact)
+    g = _layer_group(b, max(dm, da), np_)
+    xspec = pl.BlockSpec((g, np_, dm), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((g, np_, wproj.shape[1]), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
 
     def wspec(shape):
@@ -312,12 +317,13 @@ def _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
 
     return pl.pallas_call(
         functools.partial(_layer_fwd_kernel, scale=scale, n_valid=n_valid,
-                          heads=num_heads, group=g, d=d),
+                          heads=num_heads, group=g, d=da),
         grid=(b // g,),
-        in_specs=[xspec, wspec((d, 3 * d)), wspec((3 * d,)),
-                  wspec((d, d)), wspec((d,)), wspec((d,))],
-        out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, np_, d), x.dtype),
+        in_specs=[xspec, wspec((dm, 3 * da)), wspec((3 * da,)),
+                  wspec((da, wproj.shape[1])), wspec((wproj.shape[1],)),
+                  wspec((da,))],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, np_, wproj.shape[1]), x.dtype),
         **_compiler_params(),
     )(x, wqkv, bqkv, wproj, bproj, mask)
 
@@ -368,12 +374,13 @@ def layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *, num_heads: int,
     """Backend dispatch for the full attention sublayer: fused Pallas
     program on accelerators, plain composition on CPU."""
     if jax.default_backend() == "cpu":
-        b, n, d = x.shape
-        dh = d // num_heads
+        b, n, _ = x.shape
+        da = wqkv.shape[1] // 3       # attention width (!= model width
+        dh = da // num_heads          # for compacted serving layers)
         qkv = (x @ wqkv + bqkv).reshape(b, n, 3, num_heads, dh)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         ctx = reference_attention(q, k, v, scale)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d) * mask
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, da) * mask
         return ctx @ wproj + bproj
     return fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask,
                                  num_heads=num_heads, scale=scale)
