@@ -338,6 +338,10 @@ def _fused_layer_fwd(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
 def _fused_layer_bwd(scale, n_valid, num_heads, res, dout):
     x, wqkv, bqkv, wproj, bproj, mask = res
     b, np_, d = x.shape
+    # training always uses square widths; rectangular (compacted serving)
+    # layers are inference-only — differentiating one fails loudly here
+    assert wqkv.shape[1] == 3 * d, (
+        "fused-layer backward supports square model/attention widths only")
     dh = d // num_heads
     # recompute qkv (one XLA matmul) and the attention forward pieces
     qkv = (x @ wqkv + bqkv).reshape(b, np_, 3, num_heads, dh)
