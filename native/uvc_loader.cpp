@@ -262,7 +262,12 @@ class Pool {
   }
 
   // Run fn(i) for i in [0, n) across the pool; blocks until done.
+  // Whole jobs are serialized: ctypes releases the GIL, so two loaders
+  // (train producer + a mid-epoch eval producer) can call in
+  // concurrently; without job_mu_ the second call would overwrite
+  // fn_/next_/total_/done_ while workers still run the first job.
   void parallel_for(int n, std::function<void(int)> fn) {
+    std::lock_guard<std::mutex> job(job_mu_);
     std::unique_lock<std::mutex> lk(mu_);
     fn_ = std::move(fn);
     next_ = 0;
@@ -294,6 +299,7 @@ class Pool {
   }
 
   std::vector<std::thread> threads_;
+  std::mutex job_mu_;  // held for the duration of one parallel_for job
   std::mutex mu_;
   std::condition_variable cv_, done_cv_;
   std::function<void(int)> fn_;

@@ -59,3 +59,44 @@ def test_corrupt_file_zero_filled(jpegs):
         out = native_loader.load_batch(paths + [bad], 64, train=False)
     assert out[-1].max() == 0
     assert out[0].max() > 0
+
+
+def test_concurrent_load_batch_is_safe(jpegs):
+    """Two producer threads (train loader + mid-epoch eval loader) share
+    one native pool; overlapping parallel_for jobs must serialize, not
+    corrupt each other (native/uvc_loader.cpp Pool::parallel_for)."""
+    import threading
+
+    paths, _ = jpegs
+    seeds = np.arange(4, dtype=np.uint64)
+    want_train = native_loader.load_batch(paths, 64, train=True,
+                                          seeds=seeds)
+    want_eval = native_loader.load_batch(paths, 64, train=False)
+
+    results = {}
+    errors = []
+
+    def run(name, train):
+        try:
+            for _ in range(8):
+                if train:
+                    r = native_loader.load_batch(paths, 64, train=True,
+                                                 seeds=seeds)
+                else:
+                    r = native_loader.load_batch(paths, 64, train=False)
+            results[name] = r
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(f"t{i}", i % 2 == 0))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+        assert not t.is_alive(), "deadlocked parallel_for"
+    assert not errors
+    np.testing.assert_array_equal(results["t0"], want_train)
+    np.testing.assert_array_equal(results["t1"], want_eval)
+    np.testing.assert_array_equal(results["t2"], want_train)
+    np.testing.assert_array_equal(results["t3"], want_eval)
