@@ -123,3 +123,57 @@ def test_t2t_table_builds():
     assert 4e9 < macs < 6e9
     np.testing.assert_allclose(
         table.dense_flops, 2.0 * (table.embed + table.block.sum()), rtol=1e-6)
+
+
+def test_flops2_hand_computed():
+    """flops2 (uvc_utils.py:95-125) on the testing config:
+    d=8, H=1, head_size=8, d_ff=32, L=1 => ub = (2*32*8+8) + (2*8*8+8)."""
+    import jax.numpy as jnp
+    from uvc_tpu.compress.resource import flops2_fraction
+    from uvc_tpu.configs import get_config
+    cfg = get_config("testing")
+    ub = (2 * 32 * 8 + 8) + (2 * 8 * 8 + 8)  # 656
+    scores2 = jnp.ones((1, 1))
+
+    z2 = jnp.zeros((1, 2))
+    zr = jnp.zeros((1, 1))
+    assert float(flops2_fraction(z2, zr, scores2, cfg)) == 1.0
+
+    # remove 4 MLP units + 2 dims of the (kept) head
+    s = jnp.array([[0.0, 4.0]])
+    r = jnp.array([[2.0]])
+    want = ((2 * (32 - 4) * 8 + 8) + (2 * (8 - 2) * 8 + 8)) / ub
+    np.testing.assert_allclose(float(flops2_fraction(s, r, scores2, cfg)),
+                               want, rtol=1e-6)
+
+    # prune the whole (only) head: its r no longer subtracts
+    s = jnp.array([[1.0, 0.0]])
+    r = jnp.array([[3.0]])
+    want = ((2 * 32 * 8 + 8) + (2 * (8 - 8) * 8 + 8)) / ub
+    np.testing.assert_allclose(float(flops2_fraction(s, r, scores2, cfg)),
+                               want, rtol=1e-6)
+
+
+def test_flops2_gradients():
+    """STE grads: d/ds1 = -2d/ub, d/dr = -2d/ub for kept heads, 0 for
+    pruned heads; d/ds0 = -2*d*head_size/ub (uvc_utils.py:103-123)."""
+    import jax
+    import jax.numpy as jnp
+    from uvc_tpu.compress.resource import flops2_fraction
+    from uvc_tpu.configs import get_config
+    cfg = get_config("testing")
+    ub = 656.0
+    scores2 = jnp.ones((1, 1))
+
+    s = jnp.array([[0.0, 4.0]])
+    r = jnp.array([[2.0]])
+    gs, gr = jax.grad(lambda s_, r_: flops2_fraction(s_, r_, scores2, cfg),
+                      argnums=(0, 1))(s, r)
+    np.testing.assert_allclose(gs[0, 0], -2 * 8 * 8 / ub, rtol=1e-5)
+    np.testing.assert_allclose(gs[0, 1], -2 * 8 / ub, rtol=1e-5)
+    np.testing.assert_allclose(gr[0, 0], -2 * 8 / ub, rtol=1e-5)
+
+    # pruned head: r gradient vanishes
+    s = jnp.array([[1.0, 0.0]])
+    gr = jax.grad(lambda r_: flops2_fraction(s, r_, scores2, cfg))(r)
+    np.testing.assert_allclose(gr[0, 0], 0.0, atol=1e-8)

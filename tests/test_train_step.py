@@ -173,3 +173,105 @@ def test_stage1_part_gating_bf16():
     new_state, metrics = step(state, teacher, x, y, jax.random.PRNGKey(3),
                               jnp.asarray(-1.0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_accum_matches_full_batch():
+    """N=2 accumulation at batch B must equal one step at batch 2B
+    (joint_train.py:414-424: loss/N micro backward, boundary applies
+    clip + AdamW + arch update).  Deterministic setup: mixup off,
+    softl0 gating, no token selection."""
+    import dataclasses
+    hp = MinimaxHParams(gating_interval=2, zlr_schedule=(1,),
+                        enable_patch_gating=0, use_gumbel=False)
+    thp_full = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                            warmup_steps=0, mixup=0.0, cutmix=0.0,
+                            compute_dtype=jnp.float32)
+    thp_accum = dataclasses.replace(thp_full, accum_steps=2)
+    table = build_macs_table(CFG)
+    x, y = _batch(4)
+    key = jax.random.PRNGKey(3)
+    tau = jnp.asarray(-1.0)
+
+    params, teacher = _params(0), _params(1)
+    state_full = create_train_state(params, thp_full,
+                                    init_compression_state(CFG, hp))
+    full = build_stage1_step(CFG, table, hp, thp_full, warmup=False,
+                             donate=False)
+    sf, mf = full(state_full, teacher, x, y, key, tau)
+
+    state_acc = create_train_state(params, thp_accum,
+                                   init_compression_state(CFG, hp))
+    micro = build_stage1_step(CFG, table, hp, thp_accum, warmup=False,
+                              donate=False, micro=True)
+    boundary = build_stage1_step(CFG, table, hp, thp_accum, warmup=False,
+                                 donate=False)
+    state_acc, _ = micro(state_acc, teacher, x[:2], y[:2], key, tau)
+    sa, ma = boundary(state_acc, teacher, x[2:], y[2:], key, tau)
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+                 sf.params, sa.params)
+    np.testing.assert_allclose(sf.cstate.s, sa.cstate.s, atol=1e-6)
+    np.testing.assert_allclose(sf.cstate.z, sa.cstate.z, atol=1e-6)
+    assert int(sa.step) == 1  # micro steps do not advance the step counter
+    # the boundary cleared the accumulation buffer
+    assert float(optax_global_norm(sa.grad_accum)) == 0.0
+
+
+def optax_global_norm(tree):
+    import optax
+    return optax.global_norm(tree)
+
+
+def test_warmup_lr_pins_weight_lr():
+    """During warmup epochs the weight optimizer runs at the constant
+    --warmup_lr (joint_train.py:351); the UVC phase returns to the cosine
+    schedule."""
+    import dataclasses
+    hp = MinimaxHParams(gating_interval=2, zlr_schedule=(1,),
+                        enable_patch_gating=0, use_gumbel=False)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=0, learning_rate=1e-3, warmup_lr=3.3e-5,
+                       mixup=0.0, cutmix=0.0, compute_dtype=jnp.float32)
+    table = build_macs_table(CFG)
+    params, teacher = _params(0), _params(1)
+    state = create_train_state(params, thp, init_compression_state(CFG, hp))
+    warm = build_stage1_step(CFG, table, hp, thp, warmup=True, donate=False)
+    uvc = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+    x, y = _batch(4)
+    key = jax.random.PRNGKey(9)
+    tau = jnp.asarray(-1.0)
+    for _ in range(2):
+        state, metrics = warm(state, teacher, x, y, key, tau)
+        np.testing.assert_allclose(float(metrics["lr"]), 3.3e-5, rtol=1e-6)
+    state, metrics = uvc(state, teacher, x, y, key, tau)
+    # cosine schedule value at step 2 of 100 with lr 1e-3 (warmup_steps=0)
+    sched = thp.lr_schedule()
+    np.testing.assert_allclose(float(metrics["lr"]), float(sched(2)),
+                               rtol=1e-6)
+    assert abs(float(metrics["lr"]) - 3.3e-5) > 1e-6
+
+
+def test_flops2_arch_update_path():
+    """--flops_with_mhsa 0 selects the W1/W3 cost inside the minimax step
+    (uvc_optimizer.py:191-200); the step must run and report it."""
+    hp = MinimaxHParams(gating_interval=2, zlr_schedule=(5,), slr=0.5,
+                        rlr=0.5, enable_patch_gating=0, use_gumbel=False,
+                        flops_with_mhsa=False)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=200,
+                       warmup_steps=0, mixup=0.0, cutmix=0.0,
+                       compute_dtype=jnp.float32)
+    table = build_macs_table(CFG)
+    params, teacher = _params(0), _params(1)
+    state = create_train_state(params, thp, init_compression_state(CFG, hp))
+    step = build_stage1_step(CFG, table, hp, thp, warmup=False, donate=False)
+    x, y = _batch(4)
+    key = jax.random.PRNGKey(5)
+    first = None
+    for _ in range(20):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, teacher, x, y, sub, jnp.asarray(-1.0))
+        if first is None:
+            first = float(metrics["resource"])
+    assert np.isfinite(first) and 0 < first <= 1.0 + 1e-6
+    # under dual pressure the W1/W3 cost must fall toward the 0.5 budget
+    assert float(metrics["resource"]) < first

@@ -152,7 +152,9 @@ def to_hparams(args) -> MinimaxHParams:
         ylr=args.ylr, plr=args.plr, zlr_schedule=zlr, sl2wd=args.sl2wd,
         z_grad_clip=args.z_grad_clip, gating_weight=args.gating_weight,
         gating_interval=args.gating_interval, soptim=args.soptim,
-        roptim=args.roptim, use_gumbel=bool(args.use_gumbel), eps=args.eps,
+        roptim=args.roptim,
+        flops_with_mhsa=bool(getattr(args, "flops_with_mhsa", 1)),
+        use_gumbel=bool(args.use_gumbel), eps=args.eps,
         eps_decay=args.eps_decay,
         enable_block_gating=bool(args.enable_block_gating),
         enable_part_gating=bool(args.enable_part_gating),
@@ -171,10 +173,15 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
         hasattr(args, "post_weight_decay") else args.weight_decay
     epochs = args.post_num_epochs if stage2 and \
         hasattr(args, "post_num_epochs") else args.num_epochs
+    gas = max(1, getattr(args, "gradient_accumulation_steps", 1))
     return TrainHParams(
         learning_rate=lr, weight_decay=wd,
         max_grad_norm=args.max_grad_norm, warmup_steps=args.warmup_steps,
-        t_total=steps_per_epoch * epochs, decay_type=args.decay_type,
+        # the lr schedule ticks on accumulation boundaries
+        # (scheduler.step() inside the boundary branch, joint_train.py:427)
+        t_total=(steps_per_epoch // gas) * epochs,
+        decay_type=args.decay_type,
+        accum_steps=gas,
         num_epochs=epochs,
         warmup_epochs=getattr(args, "warmup_epochs", 0),
         warmup_lr=getattr(args, "warmup_lr", lr),

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.compress import optim
 from uvc_tpu.compress.masks import prox_weights
-from uvc_tpu.compress.resource import MacsTable, flops_fraction
+from uvc_tpu.compress.resource import (MacsTable, flops2_fraction,
+                                       flops_fraction)
 from uvc_tpu.compress.scores import group_scores
 from uvc_tpu.compress.state import CompressionState, MinimaxHParams, OptState
 from uvc_tpu.ops.gumbel import block_gating_distrib
@@ -94,7 +95,13 @@ def _loss1_grads(cstate: CompressionState, scores1, scores2, scores3,
 def _resource(key, s, r, gating, scores2, eps, table, cfg, hp,
               *, gumbel_hard: bool, warmup: bool):
     """One stochastic evaluation of the FLOPs fraction
-    (UVC_CP_MiniMax.run_resource_fn, uvc_utils.py:220-224)."""
+    (UVC_CP_MiniMax.run_resource_fn, uvc_utils.py:220-224).
+
+    With ``flops_with_mhsa=False`` the deterministic W1/W3 cost is used
+    instead (flops2, uvc_utils.py:95-125) — it ignores gating and eps, so
+    its gating gradient is identically zero."""
+    if not hp.flops_with_mhsa:
+        return flops2_fraction(ste_ceil(s), ste_ceil(r), scores2, cfg)
     if hp.enable_block_gating and gating is not None:
         distrib = block_gating_distrib(
             key, gating, use_gumbel=hp.use_gumbel, gumbel_hard=gumbel_hard,

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uvc_tpu.configs import ViTConfig
-from uvc_tpu.ops.stes import ste_ceil, bottom_k_mask
+from uvc_tpu.ops.stes import ste_ceil, ste_floor, bottom_k_mask
 
 
 class MacsTable(NamedTuple):
@@ -160,3 +160,43 @@ def flops_fraction(s: jax.Array, r: jax.Array, scores2: jax.Array,
     per_block = (m01 * s_ratio[:, 0] + m23 * r_ratio + m45 * s_ratio[:, 1])
     macs = table.embed + jnp.sum(distrib1 * per_block)
     return 2.0 * macs / table.dense_flops
+
+
+def flops2_fraction(s: jax.Array, r: jax.Array, scores2: jax.Array,
+                    cfg: ViTConfig) -> jax.Array:
+    """Alternative resource cost selected by ``--flops_with_mhsa 0``
+    (``flops2``, UVC/uvc_utils.py:95-125; chosen at uvc_optimizer.py:191-200).
+
+    A W1/W3-only linear-layer cost (no qkv/fc1/attention-matmul terms,
+    no block gating, no patch term), normalized by its own value at
+    ``s = r = 0``:
+
+      * fc2 ("W3"):   ``2 * floor(d_ff - s1) * d + d``       per layer
+      * attn.proj ("W1"): ``2 * in_dim * d + d`` with
+        ``in_dim = d - floor(s0)*head_size - sum_kept floor(r)`` where
+        "kept" heads are those NOT in the bottom-ceil(s0) by weight norm
+        (uvc_utils.py:116-123).
+
+    Quirk deliberately not copied: the reference path crashes at runtime —
+    ``run_resource_fn`` (uvc_utils.py:220-224) always calls the resource fn
+    with ``(s, r, gating_tuple, eps, gumbel_hard=...)`` but the flops2
+    lambda (uvc_optimizer.py:192) accepts only ``(s, r, flops_list)``.
+    We implement the intended cost (gating/eps-invariant), not the crash.
+    ``ste_floor`` keeps the straight-through gradients of the reference
+    (identity, so d(cost)/ds1 = -2d etc.).
+    """
+    d = float(cfg.embed_dim)
+    dff = float(cfg.mlp_hidden)
+    hs = float(cfg.head_size)
+
+    mlp_in = ste_floor(dff - s[:, 1])                        # [L]
+    term_w3 = 2.0 * mlp_in * d + d
+
+    k_heads = jnp.ceil(jax.lax.stop_gradient(s[:, 0])).astype(jnp.int32)
+    pruned_head = bottom_k_mask(scores2, k_heads)            # [L, H]
+    attn_in = (d - ste_floor(s[:, 0]) * hs
+               - jnp.sum(jnp.where(pruned_head, 0.0, ste_floor(r)), axis=-1))
+    term_w1 = 2.0 * attn_in * d + d
+
+    ub = cfg.depth * (2.0 * dff * d + d + 2.0 * d * d + d)
+    return jnp.sum(term_w3 + term_w1) / ub

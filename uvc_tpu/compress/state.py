@@ -38,6 +38,9 @@ class MinimaxHParams:
     gating_interval: int = 100
     soptim: str = "sgd"      # sgd | adam | rmsprop
     roptim: str = "sgd"
+    # True: full MACs-table cost (calc_flops); False: the W1/W3 linear-layer
+    # alternative (flops2, uvc_utils.py:95-125 — --flops_with_mhsa 0)
+    flops_with_mhsa: bool = True
     use_gumbel: bool = True
     eps: float = 0.1
     eps_decay: float = 0.92

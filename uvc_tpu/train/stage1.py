@@ -50,6 +50,13 @@ def expectation_and_real_flops(params, cstate, cfg: ViTConfig,
     _, scores2, _ = group_scores(params["blocks"], cfg.num_heads)
     gating = params.get("block_gating")
 
+    if not hp.flops_with_mhsa:
+        # the flops2 alternative is deterministic (gating/eps-invariant)
+        from uvc_tpu.compress.resource import flops2_fraction
+        f = float(flops2_fraction(ste_ceil(cstate.s), ste_ceil(cstate.r),
+                                  scores2, cfg))
+        return f, f
+
     def frac(hard):
         if hp.enable_block_gating and gating is not None:
             d = block_gating_distrib(key, gating, use_gumbel=hp.use_gumbel,
@@ -152,7 +159,9 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             params=shard_params(state.params, mesh, mp=mp),
             opt_state=(replicate(state.opt_state, mesh) if mp == 1
                        else state.opt_state),
-            cstate=replicate(state.cstate, mesh))
+            cstate=replicate(state.cstate, mesh),
+            grad_accum=(shard_params(state.grad_accum, mesh, mp=mp)
+                        if state.grad_accum is not None else None))
         teacher_params = shard_params(
             jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
@@ -160,10 +169,19 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
                 f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")
 
+    gas = max(1, thp.accum_steps)
     steps_per_epoch = len(train_loader)
-    t_total = steps_per_epoch * thp.num_epochs
+    # optimizer/arch updates (and the tau anneal) tick on accumulation
+    # boundaries, not micro-batches (joint_train.py:424-431; the
+    # reference's tau quirk of mixing the two counters is not copied)
+    t_total = (steps_per_epoch // gas) * thp.num_epochs
     warm_step = build_stage1_step(cfg, table, hp, thp, warmup=True)
     uvc_step = build_stage1_step(cfg, table, hp, thp, warmup=False)
+    if gas > 1:
+        warm_micro = build_stage1_step(cfg, table, hp, thp, warmup=True,
+                                       micro=True)
+        uvc_micro = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                      micro=True)
     eval_step = build_eval_step(cfg, hp, thp, masked=False)
 
     best_acc = 0.0
@@ -176,6 +194,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         warmup = epoch <= thp.warmup_epochs
         stage = "Warm Up" if warmup else "UVC Train"
         step_fn = warm_step if warmup else uvc_step
+        micro_fn = (warm_micro if warmup else uvc_micro) if gas > 1 else None
         train_loader.set_epoch(epoch)
 
         # masks rebuild + sparsity report at epoch start
@@ -206,6 +225,12 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
             xb = normalize_on_device(x)
+            if gas > 1 and (bi + 1) % gas != 0:
+                # accumulate grads only; a trailing partial window at epoch
+                # end carries into the next boundary, as the reference's
+                # zero_grad-on-boundary does (joint_train.py:448)
+                state, _ = micro_fn(state, teacher_params, xb, y, sub, tau)
+                continue
             state, metrics = step_fn(state, teacher_params, xb, y, sub, tau)
             global_step += 1
             if global_step % 50 == 0:

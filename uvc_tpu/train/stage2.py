@@ -61,12 +61,17 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         state = state.replace(
             params=shard_params(state.params, mesh, mp=mp),
             opt_state=(replicate(state.opt_state, mesh) if mp == 1
-                       else state.opt_state))
+                       else state.opt_state),
+            grad_accum=(shard_params(state.grad_accum, mesh, mp=mp)
+                        if state.grad_accum is not None else None))
         teacher_params = shard_params(
             jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
         masks = replicate(masks, mesh)
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
+    gas = max(1, thp.accum_steps)
     step_fn = build_stage2_step(cfg, hp, thp)
+    micro_fn = build_stage2_step(cfg, hp, thp, micro=True) if gas > 1 \
+        else None
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 
     key = jax.random.PRNGKey(seed)
@@ -79,9 +84,13 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     for epoch in range(thp.num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
-        for x, y in device_prefetch(iter(train_loader), put=shard_fn):
+        for bi, (x, y) in enumerate(
+                device_prefetch(iter(train_loader), put=shard_fn)):
             key, sub = jax.random.split(key)
             xb = normalize_on_device(x)
+            if gas > 1 and (bi + 1) % gas != 0:
+                state, _ = micro_fn(state, teacher_params, masks, xb, y, sub)
+                continue
             state, metrics = step_fn(state, teacher_params, masks, xb,
                                      y, sub)
             global_step += 1

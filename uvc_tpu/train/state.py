@@ -42,6 +42,10 @@ class TrainHParams:
     distillation_type: Optional[str] = "soft"   # none | soft | hard
     distillation_alpha: float = 0.5
     distillation_tau: float = 1.0
+    # gradient accumulation: micro-steps accumulate loss/N grads, every
+    # N-th step applies clip + AdamW + the arch update
+    # (joint_train.py:414-424, post_train.py:641-649)
+    accum_steps: int = 1
     # numerics
     compute_dtype: Any = jnp.bfloat16
 
@@ -58,9 +62,12 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     cstate: Optional[CompressionState] = None
+    # gradient-accumulation buffer (params-shaped; None when accum_steps==1)
+    grad_accum: Any = None
 
 
-def make_weight_optimizer(thp: TrainHParams) -> optax.GradientTransformation:
+def make_weight_optimizer(thp: TrainHParams,
+                          lr_fn=None) -> optax.GradientTransformation:
     """AdamW with the warmup-cosine/linear schedule.
 
     Torch parity: AdamW(lr, wd=0.05) over *all* parameters (including
@@ -69,9 +76,13 @@ def make_weight_optimizer(thp: TrainHParams) -> optax.GradientTransformation:
     *before* this transform so the clipped gating gradient can also feed the
     minimax update, matching the reference ordering (clip at
     joint_train.py:428, gating grad read at uvc_optimizer.py:90).
+
+    ``lr_fn`` overrides the schedule (must be a callable so the optax
+    state structure stays identical across phase variants) — used for the
+    constant ``warmup_lr`` during UVC warmup epochs (joint_train.py:351).
     """
-    return optax.adamw(thp.lr_schedule(), b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=thp.weight_decay)
+    return optax.adamw(lr_fn or thp.lr_schedule(), b1=0.9, b2=0.999,
+                       eps=1e-8, weight_decay=thp.weight_decay)
 
 
 def zero_frozen_updates(updates):
@@ -99,5 +110,9 @@ def create_train_state(params, thp: TrainHParams,
                        cstate: Optional[CompressionState] = None
                        ) -> TrainState:
     tx = make_weight_optimizer(thp)
+    grad_accum = None
+    if thp.accum_steps > 1:
+        grad_accum = jax.tree.map(jnp.zeros_like, params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      opt_state=tx.init(params), cstate=cstate)
+                      opt_state=tx.init(params), cstate=cstate,
+                      grad_accum=grad_accum)

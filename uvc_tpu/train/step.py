@@ -62,17 +62,35 @@ def _teacher_logits(teacher_params, x, cfg: ViTConfig, dtype):
 
 def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
                       thp: TrainHParams, *, warmup: bool,
-                      donate: bool = True):
+                      donate: bool = True, micro: bool = False):
     """Returns jitted ``step(state, teacher_params, x, labels, key, tau)``.
 
     ``warmup`` selects the phase (epochs <= warmup_epochs force
     distrib=(.5,.5), freeze gating, gumbel_hard=1: joint_train.py:344-360);
     two compiled variants exist, one per phase.
+
+    During warmup epochs the weight optimizer runs at the constant
+    ``warmup_lr`` (joint_train.py:351 pins every param group; note the
+    reference's per-step ``scheduler.step()`` immediately overwrites that
+    assignment after the first update of each epoch — we implement the
+    documented intent, a constant lr for the whole warmup phase, not the
+    one-step-per-epoch artifact).
+
+    ``micro=True`` builds the gradient-accumulation micro-step: it only adds
+    ``grad(loss)/accum_steps`` into ``state.grad_accum`` (reference
+    semantics: loss/N backward with no optimizer step,
+    joint_train.py:414-424).  The full step (``micro=False``) then combines
+    the buffer with its own batch's grads and applies clip + AdamW + the
+    whole arch update, clearing the buffer.
     """
-    tx = make_weight_optimizer(thp)
-    lr_fn = thp.lr_schedule()
+    # constant warmup lr passed as a callable so the optax state structure
+    # matches the cosine-phase variant (both are scale_by_schedule)
+    lr_fn = (lambda step: jnp.asarray(thp.warmup_lr, jnp.float32)) \
+        if warmup else thp.lr_schedule()
+    tx = make_weight_optimizer(thp, lr_fn=lr_fn)
     gumbel_hard = warmup  # joint_train.py:347, :359
     dtype = thp.compute_dtype
+    accum = thp.accum_steps
 
     def step(state: TrainState, teacher_params, x, labels, key, tau):
         k_mix, k_gate, k_part1, k_part2, k_tok, k_arch = \
@@ -124,6 +142,19 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
 
+        if micro:
+            # accumulate loss/N grads only (joint_train.py:414-419); the
+            # optimizer/arch update happens on the boundary step
+            new_accum = jax.tree.map(lambda a, g: a + g / accum,
+                                     state.grad_accum, grads)
+            return state.replace(grad_accum=new_accum), {"loss": loss}
+
+        if accum > 1:
+            # boundary step: fold the buffered micro-grads in with this
+            # batch's contribution, then clear the buffer
+            grads = jax.tree.map(lambda a, g: a + g / accum,
+                                 state.grad_accum, grads)
+
         if warmup and "block_gating" in grads:
             # block_skip_gating.requires_grad=False during warmup
             # (joint_train.py:349)
@@ -151,25 +182,32 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
 
         metrics = {"loss": loss, "grad_norm": grad_norm,
                    "lr": lr_fn(state.step), **arch_metrics}
-        new_state = TrainState(step=state.step + 1, params=params,
-                               opt_state=opt_state, cstate=cstate)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            cstate=cstate,
+            grad_accum=(jax.tree.map(jnp.zeros_like, state.grad_accum)
+                        if accum > 1 else state.grad_accum))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
-                      *, donate: bool = True):
+                      *, donate: bool = True, micro: bool = False):
     """Mask-frozen distillation fine-tune step (post_train.py:270-403).
 
     Masks are enforced by activation masking every step (equivalent to the
     reference's per-step ``weight *= mask``: post_train.py:357-360); block
     gating is the frozen hard decision ``keep = g1 > g0`` (the stage-2 model
     runs the ungated branch of the block loop: model_distilled.py:496-500).
+
+    ``micro=True``: gradient-accumulation micro-step (post_train.py:641-649),
+    see ``build_stage1_step``.
     """
     tx = make_weight_optimizer(thp)
     lr_fn = thp.lr_schedule()
     dtype = thp.compute_dtype
+    accum = thp.accum_steps
 
     def step(state: TrainState, teacher_params, masks, x, labels, key):
         k_mix, _ = jax.random.split(key)
@@ -199,6 +237,15 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
                 tau=thp.distillation_tau)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+
+        if micro:
+            new_accum = jax.tree.map(lambda a, g: a + g / accum,
+                                     state.grad_accum, grads)
+            return state.replace(grad_accum=new_accum), {"loss": loss}
+        if accum > 1:
+            grads = jax.tree.map(lambda a, g: a + g / accum,
+                                 state.grad_accum, grads)
+
         grads = dict(grads)
         # gating frozen (post_train.py:312, 342)
         grads["block_gating"] = jnp.zeros_like(grads["block_gating"])
@@ -212,8 +259,10 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
 
         metrics = {"loss": loss, "grad_norm": grad_norm,
                    "lr": lr_fn(state.step)}
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_state=opt_state)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            grad_accum=(jax.tree.map(jnp.zeros_like, state.grad_accum)
+                        if accum > 1 else state.grad_accum))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
