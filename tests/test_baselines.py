@@ -264,3 +264,41 @@ def test_inat_reader(tmp_path):
     # pre-resolved tuple plugs into FolderLoader
     ld = FolderLoader((paths, labels), 2, train=True, img_size=32)
     assert len(ld.classes) == 3
+
+
+def test_ema_resume_without_saved_ema_warm_starts(tmp_path):
+    """Resuming with --model_ema from a checkpoint that has no ema_params
+    must warm-start EMA from the restored weights, not the fresh init."""
+    from flax import serialization
+
+    from uvc_tpu.baselines.finetune import (create_baseline_state,
+                                            run_baseline)
+    from uvc_tpu.data.pipeline import SyntheticLoader
+    from uvc_tpu.train.state import TrainHParams
+    from uvc_tpu.utils.checkpoint import save_checkpoint
+
+    thp = TrainHParams(num_classes=CFG.num_classes, num_epochs=0,
+                       mixup=0.0, cutmix=0.0, compute_dtype=jnp.float32)
+    saved_params = _params(7)
+    tmpl = create_baseline_state(saved_params, thp)
+    ck_path = str(tmp_path / "no_ema.ckpt")
+    save_checkpoint(ck_path, {
+        "params": saved_params,
+        "opt_state": serialization.to_state_dict(tmpl.opt_state),
+        "ema_params": {},            # the pre-EMA checkpoint format
+        "masks": {}, "step": 5, "epoch": 0, "best_acc": 0.0,
+        "gmp_events": 0})
+
+    train = SyntheticLoader(4, num_batches=1, img_size=CFG.img_size,
+                            num_classes=CFG.num_classes, seed=0)
+    result = run_baseline(CFG, thp, train_loader=train, test_loader=None,
+                          params=_params(0), ema_decay=0.99,
+                          resume=ck_path, save_checkpoints=False,
+                          output_dir=str(tmp_path), name="ema_resume")
+    assert result.state.ema_params is not None
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 result.state.ema_params, result.state.params)
+    # and NOT the _params(0) init it would have kept before the fix
+    assert not np.allclose(
+        np.asarray(result.state.ema_params["head"]["kernel"]),
+        np.asarray(_params(0)["head"]["kernel"]))

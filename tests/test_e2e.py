@@ -90,3 +90,38 @@ def test_stage1_full_resume(tmp_path):
     assert int(ck2["global_step"]) == 6          # 3 resumed + 3 new
     z2 = float(np.asarray(ck2["cstate"]["z"]))
     assert z2 > z1                               # dual kept ascending
+
+
+def test_stage1_resume_past_end_returns_masks(tmp_path):
+    """Resuming from a checkpoint whose epoch >= num_epochs skips the
+    epoch loop; Stage1Result.masks must still be the real masks (rebuilt
+    from the restored cstate), so the inline stage-2 fine-tunes the
+    compressed model rather than the dense one."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.data.pipeline import SyntheticLoader
+    from uvc_tpu.train.stage1 import run_stage1
+    from uvc_tpu.train.state import TrainHParams
+
+    cfg = get_config("testing")
+    hp = MinimaxHParams(gating_interval=2, zlr_schedule=(1,),
+                        enable_patch_gating=0, use_gumbel=False)
+    thp = TrainHParams(num_classes=cfg.num_classes, t_total=10,
+                       warmup_steps=1, warmup_epochs=0, num_epochs=1,
+                       mixup=0.0, cutmix=0.0, compute_dtype=jnp.float32)
+    train = SyntheticLoader(4, num_batches=2, img_size=cfg.img_size,
+                            num_classes=cfg.num_classes, seed=0)
+    r1 = run_stage1(cfg, hp, thp, train_loader=train, test_loader=None,
+                    output_dir=str(tmp_path), name="first",
+                    eval_each_epoch=False)
+    ckpt = str(tmp_path / "first" / "testing_1.ckpt")
+    r2 = run_stage1(cfg, hp, thp, train_loader=train, test_loader=None,
+                    output_dir=str(tmp_path), name="resumed", resume=ckpt,
+                    eval_each_epoch=False)
+    assert r2.masks is not None
+    import numpy as np
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 r1.masks, r2.masks)

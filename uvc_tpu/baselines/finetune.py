@@ -187,16 +187,21 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         ema = ck.get("ema_params") or None
         # msgpack restores plain dicts; from_state_dict rebuilds them into
         # the optax NamedTuple template (plain tree.map raises)
+        restored = serialization.from_state_dict(state.params, ck["params"])
+        if ema is not None:
+            ema = (serialization.from_state_dict(state.ema_params, ema)
+                   if state.ema_params is not None
+                   else jax.tree.map(jnp.asarray, ema))
+        elif state.ema_params is not None:
+            # --model_ema on but the checkpoint carries no EMA: warm-start
+            # from the restored weights, not the stale pre-resume init
+            ema = jax.tree.map(jnp.copy, restored)
         state = BaselineState(
             step=jnp.asarray(ck["step"]),
-            params=serialization.from_state_dict(state.params,
-                                                 ck["params"]),
+            params=restored,
             opt_state=serialization.from_state_dict(state.opt_state,
                                                     ck["opt_state"]),
-            ema_params=(serialization.from_state_dict(state.ema_params, ema)
-                        if ema is not None and state.ema_params is not None
-                        else (jax.tree.map(jnp.asarray, ema)
-                              if ema is not None else None)))
+            ema_params=ema)
         if ck.get("masks"):
             wmasks = masks_from_flat(ck["masks"], state.params)
         start_epoch = int(ck.get("epoch", 0)) + 1
@@ -207,6 +212,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         logger.info(f"Resumed from {resume} at epoch {start_epoch}")
 
     shard_fn = lambda t: t  # noqa: E731
+    prefetch_put = None  # default device put when unsharded
     if mesh is not None:
         from uvc_tpu.parallel.mesh import (replicate, shard_batch,
                                            shard_params)
@@ -222,6 +228,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         if wmasks is not None:
             wmasks = replicate(wmasks, mesh)
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
+        prefetch_put = shard_fn
 
     step_fn = build_baseline_step(cfg, thp, token_selection=token_selection,
                                   token_number=token_number,
@@ -234,7 +241,7 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
         train_loader.set_epoch(epoch)
         losses = AverageMeter()
         t0 = time.time()
-        for x, y in device_prefetch(iter(train_loader), put=shard_fn):
+        for x, y in device_prefetch(iter(train_loader), put=prefetch_put):
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if token_selection else jnp.asarray(-1.0)
             key = jax.random.fold_in(jax.random.PRNGKey(seed), global_step)

@@ -152,6 +152,10 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     # the step (batch on "data", optional Megatron TP on "model"); XLA
     # inserts the gradient psum over ICI
     shard_fn = lambda t: t  # noqa: E731
+    # prefetch placement: None = default jnp.asarray device put (so the
+    # prefetch buffer actually overlaps the host->device copy on the
+    # single-device path); sharded runs place directly onto the mesh
+    prefetch_put = None
     if mesh is not None:
         from uvc_tpu.parallel.mesh import (replicate, shard_batch,
                                            shard_params)
@@ -165,6 +169,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         teacher_params = shard_params(
             jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
+        prefetch_put = shard_fn
     total_param = float(total_maskable_params(params))
     logger.info(f"** Initial FLOP size: {table.dense_flops / 2e6:.2f}M MACs "
                 f"(dense {table.dense_flops / 1e6:.2f}M FLOPs)")
@@ -187,7 +192,11 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     best_acc = 0.0
     global_step = resumed_step
     losses = AverageMeter()
-    masks = None
+    # built from the (possibly restored) cstate up front, so resuming from
+    # a checkpoint whose epoch >= num_epochs still returns real masks to
+    # the inline stage-2 instead of None
+    masks = build_masks(state.params, ste_ceil(state.cstate.s),
+                        ste_ceil(state.cstate.r), cfg)
     metrics = None
 
     for epoch in range(start_epoch, thp.num_epochs + 1):
@@ -220,7 +229,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
 
         t0 = time.time()
         for bi, (x, y) in enumerate(
-                device_prefetch(iter(train_loader), put=shard_fn)):
+                device_prefetch(iter(train_loader), put=prefetch_put)):
             key, sub = jax.random.split(key)
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)

@@ -55,6 +55,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     # copy params into the (donated) train state: callers keep their buffers
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
     shard_fn = lambda t: t  # noqa: E731
+    prefetch_put = None  # default device put when unsharded
     if mesh is not None:
         from uvc_tpu.parallel.mesh import (replicate, shard_batch,
                                            shard_params)
@@ -68,6 +69,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             jax.tree.map(jnp.asarray, teacher_params), mesh, mp=mp)
         masks = replicate(masks, mesh)
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
+        prefetch_put = shard_fn
     gas = max(1, thp.accum_steps)
     step_fn = build_stage2_step(cfg, hp, thp)
     micro_fn = build_stage2_step(cfg, hp, thp, micro=True) if gas > 1 \
@@ -85,7 +87,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         train_loader.set_epoch(epoch)
         t0 = time.time()
         for bi, (x, y) in enumerate(
-                device_prefetch(iter(train_loader), put=shard_fn)):
+                device_prefetch(iter(train_loader), put=prefetch_put)):
             key, sub = jax.random.split(key)
             xb = normalize_on_device(x)
             if gas > 1 and (bi + 1) % gas != 0:
