@@ -1,0 +1,165 @@
+"""DeiT recipe augmentation: RandAugment / color jitter (host-side) and
+random erasing + stochastic depth (device-side).  Reference recipe:
+Baseline_pruning/datasets.py:134-141 (timm create_transform args) and
+main.py:56 drop_path=0.1."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uvc_tpu.data import augment
+
+
+def _img(seed=0, size=64):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+
+
+def test_all_randaugment_ops_run():
+    from PIL import Image
+    img = Image.fromarray(_img())
+    rng = np.random.default_rng(0)
+    for name in augment._RAND_OPS:
+        out = augment._apply_op(img, name, 9.0, rng)
+        assert out.size == img.size
+
+
+def test_randaugment_policy_string_and_effect():
+    ra = augment.RandAugment.from_string("rand-m9-mstd0.5-inc1")
+    assert ra.magnitude == 9.0 and ra.mstd == 0.5 and ra.num_ops == 2
+    fn = augment.make_train_augment("rand-m9-mstd0.5-inc1")
+    a = fn(_img(), np.random.default_rng(1))
+    b = fn(_img(), np.random.default_rng(2))
+    assert a.shape == (64, 64, 3) and a.dtype == np.uint8
+    # different rng streams give different augmentations (almost surely)
+    assert not (np.array_equal(a, _img()) and np.array_equal(b, _img()))
+    assert not np.array_equal(a, b)
+
+
+def test_color_jitter_only_when_no_aa():
+    fn = augment.make_train_augment("none", color_jitter=0.4)
+    out = fn(_img(), np.random.default_rng(0))
+    assert out.shape == (64, 64, 3)
+    assert not np.array_equal(out, _img())
+    assert augment.make_train_augment("none", color_jitter=0.0) is None
+
+
+def test_random_erasing_geometry():
+    x = jnp.ones((8, 32, 32, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    out = augment.random_erasing(key, x, prob=1.0)
+    changed = np.asarray(jnp.any(out != 1.0, axis=-1))      # [B, H, W]
+    frac = changed.reshape(8, -1).mean(axis=1)
+    # every image erased, area within the timm scale window (rounding slack)
+    assert np.all(frac > 0.0)
+    assert np.all(frac >= 0.015) and np.all(frac <= 0.40), frac
+    # erased region is a filled rectangle: per-image the changed rows/cols
+    # form contiguous runs
+    for b in range(8):
+        rows = np.nonzero(changed[b].any(axis=1))[0]
+        cols = np.nonzero(changed[b].any(axis=0))[0]
+        assert np.array_equal(rows, np.arange(rows[0], rows[-1] + 1))
+        assert np.array_equal(cols, np.arange(cols[0], cols[-1] + 1))
+    # prob=0: untouched
+    np.testing.assert_array_equal(
+        augment.random_erasing(key, x, prob=0.0), x)
+
+
+def test_random_erasing_pixel_fill_is_gaussian():
+    x = jnp.zeros((4, 64, 64, 3), jnp.float32)
+    out = np.asarray(augment.random_erasing(jax.random.PRNGKey(1), x,
+                                            prob=1.0))
+    vals = out[out != 0.0]
+    assert vals.size > 100
+    assert abs(vals.mean()) < 0.2 and 0.7 < vals.std() < 1.3
+
+
+def test_drop_path_semantics_match_torch():
+    """jax drop_path vs the torch/timm formula
+    ``x.div(keep) * bernoulli(keep)`` given the same mask."""
+    import torch
+
+    from uvc_tpu.models.vit import drop_path
+    b = 512
+    branch = jnp.ones((b, 3, 5), jnp.float32)
+    rate = 0.3
+    out = np.asarray(drop_path(branch, jax.random.PRNGKey(0), rate))
+    per_sample = out[:, 0, 0]
+    # rows are exactly 0 or 1/keep
+    uniq = np.unique(np.round(per_sample, 5))
+    np.testing.assert_allclose(uniq, [0.0, round(1 / 0.7, 5)], atol=1e-5)
+    # and each row is constant (whole branch dropped per sample)
+    assert np.all((out == out[:, :1, :1]).reshape(b, -1))
+    # drop fraction ~ rate
+    assert abs((per_sample == 0).mean() - rate) < 0.07
+    # same mask through the torch formula gives identical values
+    mask = torch.tensor((per_sample != 0).astype(np.float32))
+    t = torch.ones(b).div(1 - rate) * mask
+    np.testing.assert_allclose(per_sample, t.numpy(), rtol=1e-6)
+
+
+def test_drop_path_in_model_forward():
+    """apply(..., drop_path_rate) must be a no-op at eval and per-sample
+    stochastic at train time."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+
+    cfg = get_config("testing").replace(depth=4)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(1), params["head"]["kernel"].shape) * 0.1
+    x0 = jax.random.normal(jax.random.PRNGKey(2),
+                           (1, cfg.img_size, cfg.img_size, 3))
+    x = jnp.tile(x0, (8, 1, 1, 1))        # identical rows
+    key = jax.random.PRNGKey(3)
+
+    base = vit.apply(params, x, cfg, train=True, rng=key).logits
+    dp = vit.apply(params, x, cfg, train=True, rng=key,
+                   drop_path_rate=0.8).logits
+    # eval ignores the rate entirely
+    ev = vit.apply(params, x, cfg, train=False, rng=key,
+                   drop_path_rate=0.8).logits
+    np.testing.assert_allclose(
+        ev, vit.apply(params, x, cfg, train=False, rng=key).logits)
+    # train: identical inputs diverge across samples (per-sample masks)
+    assert np.allclose(base[0], base[3], atol=1e-5)
+    assert not np.allclose(dp[0], dp[3], atol=1e-4)
+
+
+def test_folder_loader_applies_aug(tmp_path):
+    """FolderLoader threads the per-image augmentation through its worker
+    pool (timm order: after crop+flip), on both decode paths."""
+    from PIL import Image
+
+    from uvc_tpu.data.pipeline import FolderLoader
+
+    cdir = tmp_path / "train" / "class_a"
+    cdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 256, (80, 80, 3), dtype=np.uint8)
+                        ).save(cdir / f"{i}.jpg", quality=95)
+
+    marker = np.zeros((32, 32, 3), np.uint8)
+    marker[0, 0] = (1, 2, 3)
+
+    def stamp(img, _rng):
+        return marker
+
+    ld = FolderLoader(str(tmp_path / "train"), 4, train=True, img_size=32,
+                      num_workers=2, aug=stamp)
+    x, y = next(iter(ld))
+    assert np.array_equal(x[0], marker) and np.array_equal(x[3], marker)
+    # eval path ignores aug
+    ld_ev = FolderLoader(str(tmp_path / "train"), 4, train=False,
+                         img_size=32, num_workers=2, aug=stamp)
+    xe, _ = next(iter(ld_ev))
+    assert not np.array_equal(xe[0], marker)
+    # bicubic interpolation request routes through the PIL path and still
+    # produces valid batches with aug applied
+    ld_bc = FolderLoader(str(tmp_path / "train"), 4, train=True,
+                         img_size=32, num_workers=2, aug=stamp,
+                         interpolation="bicubic")
+    xb, _ = next(iter(ld_bc))
+    assert np.array_equal(xb[1], marker)

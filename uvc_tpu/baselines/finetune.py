@@ -63,11 +63,19 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
                         token_selection: bool = False,
                         token_number: float = 0.7,
                         ema_decay: float = 0.0,
+                        drop_path_rate: float = 0.0,
+                        re_prob: float = 0.0, re_count: int = 1,
                         donate: bool = True):
     """Jitted ``step(state, teacher_params, wmasks, x, labels, key, tau)``.
 
     ``teacher_params=None`` disables distillation (plain CE path,
     main.py:338-346); ``wmasks=None`` trains dense.
+
+    DeiT recipe pieces that live on device: random erasing (timm
+    RandomErasing mode='pixel', reprob 0.25 in the reference recipe,
+    Baseline_pruning/main.py:69-74) runs on the normalized batch *before*
+    mixup (timm transform order), and stochastic depth ``drop_path_rate``
+    (main.py:56, :261-262) is threaded into the backbone.
     """
     tx = make_weight_optimizer(thp)
     lr_fn = thp.lr_schedule()
@@ -76,7 +84,10 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
 
     def step(state: BaselineState, teacher_params, wmasks, x, labels, key,
              tau):
-        k_mix, k_tok = jax.random.split(key)
+        k_mix, k_tok, k_re = jax.random.split(key, 3)
+        if re_prob > 0:
+            from uvc_tpu.data.augment import random_erasing
+            x = random_erasing(k_re, x, prob=re_prob, count=re_count)
         if thp.mixup > 0 or thp.cutmix > 0:
             x, targets = mixup_cutmix(
                 k_mix, x, labels, num_classes=thp.num_classes,
@@ -95,6 +106,7 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
                 tau=tau if token_selection else -1.0,
                 patch_ratio=token_number,
                 patch_gate_mode=2 if token_selection else 0,
+                drop_path_rate=drop_path_rate,
                 rng=k_tok, train=True, dtype=dtype)
             if thp.mixup > 0 or thp.cutmix > 0:
                 base = soft_target_cross_entropy(out.logits, targets)
@@ -164,7 +176,8 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                  test_loader, params, wmasks=None, teacher_params=None,
                  gmp: Optional[GMPSchedule] = None,
                  token_selection: bool = False, token_number: float = 0.7,
-                 ema_decay: float = 0.0, seed: int = 0,
+                 ema_decay: float = 0.0, drop_path_rate: float = 0.0,
+                 re_prob: float = 0.0, re_count: int = 1, seed: int = 0,
                  output_dir: str = "output", name: str = "baseline",
                  resume: Optional[str] = None, start_epoch: int = 0,
                  save_checkpoints: bool = True, mesh=None, mp: int = 1,
@@ -232,7 +245,9 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
 
     step_fn = build_baseline_step(cfg, thp, token_selection=token_selection,
                                   token_number=token_number,
-                                  ema_decay=ema_decay)
+                                  ema_decay=ema_decay,
+                                  drop_path_rate=drop_path_rate,
+                                  re_prob=re_prob, re_count=re_count)
     eval_fn = build_baseline_eval_step(cfg, thp)
     t_total = len(train_loader) * thp.num_epochs
     metrics = None

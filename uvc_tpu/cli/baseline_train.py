@@ -49,6 +49,23 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true")
     p.add_argument("--repeated_aug", default=1, type=int,
                    help="RASampler 3x repeated augmentation (DeiT recipe)")
+    # DeiT recipe augmentation surface (main.py:56-78, datasets.py:134-141)
+    p.add_argument("--aa", default="rand-m9-mstd0.5-inc1", type=str,
+                   help="RandAugment policy; 'none' disables")
+    p.add_argument("--color-jitter", default=0.4, type=float,
+                   help="used only when --aa none (timm precedence)")
+    p.add_argument("--train-interpolation", default="bicubic",
+                   choices=["bilinear", "bicubic", "nearest"],
+                   help="train crop resize filter; non-bilinear selects "
+                        "the PIL decode path (the C++ loader is bilinear)")
+    p.add_argument("--reprob", default=0.25, type=float,
+                   help="random erasing probability (on-device, in-step)")
+    p.add_argument("--remode", default="pixel", type=str,
+                   help="only 'pixel' (gaussian fill) is implemented; "
+                        "other modes fall back to it")
+    p.add_argument("--recount", default=1, type=int)
+    p.add_argument("--drop_path", "--drop-path", default=0.1, type=float,
+                   help="stochastic depth rate (main.py:56, :261-262)")
     args = flags.parse_with_config(p, argv)
     if args.eval and not args.resume:
         p.error("--eval requires --resume <checkpoint>")
@@ -77,6 +94,12 @@ def main(argv=None):
                                               args.img_size)
     if args.repeated_aug and hasattr(train_loader, "repeated_aug"):
         train_loader.repeated_aug = True
+    from uvc_tpu.data.augment import make_train_augment
+    aug = make_train_augment(args.aa, args.color_jitter)
+    if aug is not None and hasattr(train_loader, "aug"):
+        train_loader.aug = aug
+    if hasattr(train_loader, "interpolation"):
+        train_loader.interpolation = args.train_interpolation
     thp = flags.to_train_hparams(args, len(train_loader), num_classes)
 
     t_args = argparse.Namespace(**vars(args))
@@ -133,6 +156,8 @@ def main(argv=None):
         token_selection=bool(args.token_selection),
         token_number=args.token_number,
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
+        drop_path_rate=args.drop_path,
+        re_prob=args.reprob, re_count=args.recount,
         seed=args.seed, output_dir=args.output_dir, name=args.name,
         resume=args.resume, start_epoch=args.start_epoch,
         mesh=mesh, mp=args.mp, logger=logger)

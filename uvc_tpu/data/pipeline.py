@@ -91,9 +91,15 @@ def scan_image_folder(root: str) -> Tuple[List[str], np.ndarray, List[str]]:
 # ---------------------------------------------------------------------------
 
 
-def _random_resized_crop(img, rng: np.random.Generator, size: int,
-                         scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+def _interp(name: str):
     from PIL import Image
+    return {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+            "nearest": Image.NEAREST}[name]
+
+
+def _random_resized_crop(img, rng: np.random.Generator, size: int,
+                         scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                         interpolation: str = "bilinear"):
     w, h = img.size
     area = w * h
     for _ in range(10):
@@ -106,7 +112,7 @@ def _random_resized_crop(img, rng: np.random.Generator, size: int,
             x0 = rng.integers(0, w - cw + 1)
             y0 = rng.integers(0, h - ch + 1)
             img = img.crop((x0, y0, x0 + cw, y0 + ch))
-            return img.resize((size, size), Image.BILINEAR)
+            return img.resize((size, size), _interp(interpolation))
     # fallback: center crop
     return _center_crop(img, size, size)
 
@@ -128,11 +134,13 @@ def _center_crop(img, size: int, resize_to: Optional[int] = None):
 
 
 def load_train_image(path: str, rng: np.random.Generator,
-                     size: int = 224) -> np.ndarray:
+                     size: int = 224,
+                     interpolation: str = "bilinear") -> np.ndarray:
     from PIL import Image
     with Image.open(path) as img:
         img = img.convert("RGB")
-        img = _random_resized_crop(img, rng, size)
+        img = _random_resized_crop(img, rng, size,
+                                   interpolation=interpolation)
         if rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return np.asarray(img, np.uint8)
@@ -246,7 +254,8 @@ class FolderLoader:
                  img_size: int = 224, seed: int = 42, num_workers: int = 16,
                  drop_last: bool = True, pid: int = 0, pcount: int = 1,
                  prefetch: int = 4, repeated_aug: bool = False,
-                 split_file: Optional[str] = None, split_rate: float = 1.0):
+                 split_file: Optional[str] = None, split_rate: float = 1.0,
+                 aug=None, interpolation: str = "bilinear"):
         if split_file:
             self.paths, self.labels = load_split_file(root, split_file,
                                                       split_rate)
@@ -266,6 +275,13 @@ class FolderLoader:
         self.pid, self.pcount = pid, pcount
         self.prefetch = prefetch
         self.repeated_aug = repeated_aug
+        # per-image augmentation fn(uint8_hwc, np_rng) -> uint8_hwc applied
+        # after crop+flip (timm transform order: RandAugment / color jitter,
+        # see uvc_tpu/data/augment.py)
+        self.aug = aug
+        # the C++ fast path implements bilinear only; requesting another
+        # interpolation (the DeiT recipe trains bicubic) selects the PIL path
+        self.interpolation = interpolation
         self.epoch = 0
 
     def __len__(self):
@@ -301,7 +317,9 @@ class FolderLoader:
         def produce():
             from concurrent.futures import ThreadPoolExecutor
             from uvc_tpu.data import native_loader
-            use_native = native_loader.available()
+            use_native = (native_loader.available()
+                          and (not self.train
+                               or self.interpolation == "bilinear"))
             base_rng = np.random.default_rng(
                 (self.seed + self.epoch) * 1000 + self.pid)
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -328,11 +346,22 @@ class FolderLoader:
                                 return load_train_image(
                                     self.paths[i],
                                     np.random.default_rng(int(s)),
-                                    self.img_size)
+                                    self.img_size,
+                                    interpolation=self.interpolation)
                             return load_eval_image(self.paths[i],
                                                    self.img_size)
 
                         x = np.stack(list(pool.map(one, zip(sel, seeds))))
+                    if self.train and self.aug is not None:
+                        # RandAugment / jitter on the cropped image, one
+                        # rng stream per image derived from its crop seed
+                        def aug_one(args):
+                            img, s = args
+                            return self.aug(
+                                img, np.random.default_rng(int(s) + 17))
+
+                        x = np.stack(list(pool.map(aug_one,
+                                                   zip(x, seeds))))
                     y = self.labels[sel].astype(np.int32)
                     out_q.put((x, y))
             out_q.put(None)
@@ -401,13 +430,14 @@ class ArrayLoader:
 
     def __init__(self, x: np.ndarray, y: np.ndarray, batch_size: int, *,
                  train: bool, img_size: int = 224, seed: int = 42,
-                 pid: int = 0, pcount: int = 1):
+                 pid: int = 0, pcount: int = 1, aug=None):
         self.x, self.y = x, y
         self.batch_size = batch_size
         self.train = train
         self.img_size = img_size
         self.seed = seed
         self.pid, self.pcount = pid, pcount
+        self.aug = aug
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -435,4 +465,8 @@ class ArrayLoader:
                 xb = np.stack(imgs)
             else:
                 xb = self.x[sel]
+            if self.train and self.aug is not None:
+                rng2 = np.random.default_rng(
+                    (self.seed + self.epoch) * 7919 + b)
+                xb = np.stack([self.aug(img, rng2) for img in xb])
             yield xb, self.y[sel]

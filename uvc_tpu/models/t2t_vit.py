@@ -239,6 +239,7 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
           jumping: bool = False, rng=None, train: bool = False,
           tau: float = -1.0, patch_ratio: float = 0.9,
           patch_gate_mode: int = 0, patch_hard: bool = False,
+          drop_path_rate: float = 0.0,
           dtype=jnp.float32) -> ForwardOutput:
     """T2T-ViT forward (t2t_vit.py:168-208).  The reference T2T forward has
     no token-selection / patch-gating path; arguments are accepted for API
@@ -251,10 +252,14 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     pos = jnp.asarray(sinusoid_pos_embed(cfg.num_patches + 1,
                                          cfg.embed_dim))
     t = t + pos.astype(dtype)
+    dp = drop_path_rate if (train and drop_path_rate > 0) else 0.0
     t = vit.transformer_encode(params, t, cfg, gating_distrib=gating_distrib,
                                attn_distrib=attn_distrib,
                                mlp_distrib=mlp_distrib, masks=masks,
-                               jumping=jumping, dtype=dtype)
+                               jumping=jumping, drop_path_rate=dp,
+                               rng=(jax.random.fold_in(rng, 7)
+                                    if rng is not None else None),
+                               dtype=dtype)
     logits = (t[:, 0].astype(jnp.float32) @ params["head"]["kernel"]
               + params["head"]["bias"])
     # training returns (x, x): t2t_vit.py:205-208

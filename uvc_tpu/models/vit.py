@@ -208,6 +208,17 @@ def patch_embed(params: dict, x: jax.Array, cfg: ViTConfig,
             + params["patch_embed"]["bias"].astype(dtype))
 
 
+def drop_path(branch: jax.Array, key: jax.Array, rate) -> jax.Array:
+    """Stochastic depth on a residual branch (timm DropPath semantics,
+    used by the baseline recipe at drop_path=0.1:
+    Baseline_pruning/main.py:261-262): drop the whole branch per sample
+    with probability ``rate``, scale survivors by 1/(1-rate)."""
+    keep = 1.0 - rate
+    m = jax.random.bernoulli(key, keep, (branch.shape[0], 1, 1))
+    return branch * m.astype(branch.dtype) / jnp.asarray(
+        keep, branch.dtype)
+
+
 class ForwardOutput(NamedTuple):
     logits: jax.Array
     logits_kd: jax.Array       # distillation-head logits (== logits when
@@ -227,6 +238,7 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
           jumping: bool = False,
           rng: Optional[jax.Array] = None,
           train: bool = False,
+          drop_path_rate: float = 0.0,
           dtype=jnp.float32) -> ForwardOutput:
     """Forward pass (reference forward_features + heads:
     model_distilled.py:429-531).
@@ -281,10 +293,13 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     x = jnp.concatenate(tokens + [x], axis=1)
     x = x + params["pos_embed"].astype(dtype)
 
+    dp_rate = drop_path_rate if (train and drop_path_rate > 0) else 0.0
     x = transformer_encode(
         params, x, cfg, gating_distrib=gating_distrib,
         attn_distrib=attn_distrib, mlp_distrib=mlp_distrib, masks=masks,
-        jumping=jumping, dtype=dtype)
+        jumping=jumping, drop_path_rate=dp_rate,
+        rng=(jax.random.fold_in(rng, 7) if rng is not None else None),
+        dtype=dtype)
 
     cls = x[:, 0].astype(jnp.float32)
     logits = cls @ params["head"]["kernel"] + params["head"]["bias"]
@@ -301,7 +316,8 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
 def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                        gating_distrib=None, attn_distrib=None,
                        mlp_distrib=None, masks=None, jumping: bool = False,
-                       remat: bool = True,
+                       remat: bool = True, drop_path_rate: float = 0.0,
+                       rng: Optional[jax.Array] = None,
                        dtype=jnp.float32) -> jax.Array:
     """The gated block stack + final LN, shared by DeiT/ViT and T2T-ViT
     (reference block loops: model_distilled.py:477-507,
@@ -309,17 +325,35 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
 
     ``remat`` checkpoints each block of the scan: activations are recomputed
     in the backward pass, bounding train-step HBM by one block's activations
-    instead of all L (the standard TPU memory/FLOPs trade)."""
+    instead of all L (the standard TPU memory/FLOPs trade).
+
+    ``drop_path_rate > 0`` enables stochastic depth (timm DropPath; the
+    baseline DeiT recipe trains with 0.1: Baseline_pruning/main.py:56,
+    :261-262): each residual branch is dropped per sample with a
+    linearly-increasing per-layer rate and the kept branches are scaled by
+    1/keep.  Requires ``rng``."""
     eps = cfg.layer_norm_eps
     scale = cfg.qk_scale if cfg.qk_scale is not None else cfg.head_size ** -0.5
 
+    use_dp = drop_path_rate > 0.0
+    if use_dp:
+        if rng is None:
+            raise ValueError("drop_path_rate > 0 requires rng")
+        dp_keys = jax.random.split(rng, cfg.depth)          # [L, key]
+        dp_rates = jnp.linspace(0.0, drop_path_rate, cfg.depth)
+    else:
+        dp_keys = dp_rates = None
+
     def block_body(carry, inp):
         h, accum = carry if jumping else (carry, None)
-        blk, distrib, a_d, m_d, attn_m, mlp_m = inp
+        blk, distrib, a_d, m_d, attn_m, mlp_m, dp_key, dp_rate = inp
 
         def run_block(z):
             a_in = _layer_norm(z, blk["ln1"]["scale"], blk["ln1"]["bias"], eps)
             a_out = _attention(a_in, blk, cfg.num_heads, scale, attn_m, dtype)
+            if use_dp:
+                a_out = drop_path(a_out, jax.random.fold_in(dp_key, 0),
+                                  dp_rate.astype(jnp.float32))
             if a_d is not None:
                 z = (a_d[0].astype(dtype) * z
                      + a_d[1].astype(dtype) * a_out)
@@ -327,6 +361,9 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                 z = z + a_out
             m_in = _layer_norm(z, blk["ln2"]["scale"], blk["ln2"]["bias"], eps)
             m_out = _mlp(m_in, blk, mlp_m, dtype)
+            if use_dp:
+                m_out = drop_path(m_out, jax.random.fold_in(dp_key, 1),
+                                  dp_rate.astype(jnp.float32))
             if m_d is not None:
                 z = (m_d[0].astype(dtype) * z
                      + m_d[1].astype(dtype) * m_out)
@@ -349,7 +386,8 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
 
     xs = (params["blocks"], gating_distrib, attn_distrib, mlp_distrib,
           None if masks is None else masks["attn"],
-          None if masks is None else masks["mlp"])
+          None if masks is None else masks["mlp"],
+          dp_keys, dp_rates)
     body = jax.checkpoint(block_body) if remat else block_body
     init = (x, jnp.zeros_like(x)) if jumping else x
     out_carry, _ = jax.lax.scan(body, init, xs)
