@@ -80,3 +80,76 @@ def test_full_pipeline_learns_and_compacts(tmp_path):
     np.testing.assert_allclose(np.asarray(out.logits),
                                np.asarray(ref.logits), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_eval_sharding_is_exhaustive(tmp_path):
+    """Eval must cover every image exactly once globally even when the
+    dataset size divides into neither the process count nor the batch size
+    (the reference drops the remainder per rank, or duplicates with
+    --dist-eval: Baseline_pruning/main.py:221-227).  Padding rows carry
+    label -1 and zero pixels."""
+    import numpy as np
+    from PIL import Image
+
+    from uvc_tpu.data.pipeline import ArrayLoader, FolderLoader
+
+    root = tmp_path / "val" / "c0"
+    root.mkdir(parents=True)
+    n = 10
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+                        ).save(root / f"{i}.jpg", quality=95)
+
+    for pcount in (1, 3):
+        total_valid = 0
+        lens = []
+        for pid in range(pcount):
+            ld = FolderLoader(str(tmp_path / "val"), 4, train=False,
+                              img_size=32, num_workers=2, pid=pid,
+                              pcount=pcount)
+            lens.append(len(ld))
+            batches = list(ld)
+            assert len(batches) == len(ld)
+            for x, y in batches:
+                assert x.shape == (4, 32, 32, 3)   # static batch shape
+                total_valid += int((y >= 0).sum())
+                assert np.all(x[y < 0] == 0)
+        assert total_valid == n, (pcount, total_valid)
+        assert len(set(lens)) == 1   # every process runs the same steps
+
+    xs = rng.integers(0, 256, (n, 32, 32, 3), dtype=np.uint8)
+    ys = np.arange(n).astype(np.int32)
+    for pcount in (1, 3):
+        got = []
+        for pid in range(pcount):
+            ld = ArrayLoader(xs, ys, 4, train=False, img_size=32,
+                             pid=pid, pcount=pcount)
+            for x, y in ld:
+                got.extend(int(v) for v in y if v >= 0)
+        assert sorted(got) == list(range(n)), (pcount, sorted(got))
+
+
+def test_eval_step_masks_padding():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+    from uvc_tpu.train.state import TrainHParams
+    from uvc_tpu.train.step import build_eval_step
+
+    cfg = get_config("testing")
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    hp = MinimaxHParams(enable_patch_gating=0)
+    thp = TrainHParams(num_classes=cfg.num_classes,
+                       compute_dtype=jnp.float32)
+    step = build_eval_step(cfg, hp, thp, masked=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 32, 32, 3))
+    y = jnp.array([1, 2, 3, -1, -1, -1], jnp.int32)
+    m = step(params, None, x, y, jax.random.PRNGKey(2))
+    assert int(m["count"]) == 3
+    assert 0 <= int(m["correct"]) <= 3
+    assert np.isfinite(float(m["loss_sum"]))

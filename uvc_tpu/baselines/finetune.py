@@ -156,11 +156,16 @@ def build_baseline_eval_step(cfg: ViTConfig, thp: TrainHParams):
         model = get_model(cfg)
         out = model.apply(p, x, cfg, train=False, dtype=dtype)
         logits = model.eval_logits(out, cfg)
+        # label -1 = padding from the full-coverage eval sharding
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        correct = (jnp.argmax(logits, axis=-1) == labels)
+        nll = jnp.where(
+            valid,
+            -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0], 0.0)
+        correct = (jnp.argmax(logits, axis=-1) == labels) & valid
         return {"correct": jnp.sum(correct), "loss_sum": jnp.sum(nll),
-                "count": jnp.asarray(labels.shape[0], jnp.int32)}
+                "count": jnp.sum(valid.astype(jnp.int32))}
 
     return jax.jit(step)
 

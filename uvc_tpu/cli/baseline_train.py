@@ -66,6 +66,12 @@ def main(argv=None):
     p.add_argument("--recount", default=1, type=int)
     p.add_argument("--drop_path", "--drop-path", default=0.1, type=float,
                    help="stochastic depth rate (main.py:56, :261-262)")
+    p.add_argument("--dist-eval", default=1, type=int,
+                   help="parity flag (main.py:221-227): eval here is "
+                        "always sharded across processes AND exact — "
+                        "shards pad with masked sentinels instead of "
+                        "duplicating samples, so there is no bias to "
+                        "warn about")
     args = flags.parse_with_config(p, argv)
     if args.eval and not args.resume:
         p.error("--eval requires --resume <checkpoint>")

@@ -285,12 +285,20 @@ class FolderLoader:
         self.epoch = 0
 
     def __len__(self):
-        if self.train and self.repeated_aug:
-            n = int(len(self.paths) // 256 * 256 / self.pcount)
-        else:
-            n = len(self.paths) // self.pcount
-        return n // self.batch_size if self.drop_last else \
-            -(-n // self.batch_size)
+        if self.train:
+            if self.repeated_aug:
+                n = int(len(self.paths) // 256 * 256 / self.pcount)
+            else:
+                n = len(self.paths) // self.pcount
+            return n // self.batch_size if self.drop_last else \
+                -(-n // self.batch_size)
+        # eval: every image is seen exactly once globally; shards and the
+        # final batch are padded with sentinel label -1 entries (masked in
+        # the eval reduction) instead of dropped.  Fixes the reference
+        # --dist-eval duplication bias (Baseline_pruning/main.py:221-227)
+        # and the plain DataLoader tail drop.
+        shard = -(-len(self.paths) // self.pcount)
+        return -(-shard // self.batch_size)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -304,13 +312,20 @@ class FolderLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             perm = rng.permutation(n)
             return perm[self.pid::self.pcount]
-        shard = n // self.pcount
-        return np.arange(self.pid * shard, (self.pid + 1) * shard)
+        # eval: contiguous shards padded to equal size with -1 sentinels so
+        # every process runs the same number of equally-shaped batches
+        shard = -(-n // self.pcount)
+        idx = np.full(shard * self.pcount, -1, np.int64)
+        idx[:n] = np.arange(n)
+        return idx[self.pid * shard:(self.pid + 1) * shard]
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         idx = self._indices()
-        nb = len(idx) // self.batch_size if self.drop_last else \
-            -(-len(idx) // self.batch_size)
+        if self.train:
+            nb = len(idx) // self.batch_size if self.drop_last else \
+                -(-len(idx) // self.batch_size)
+        else:
+            nb = -(-len(idx) // self.batch_size)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -327,6 +342,13 @@ class FolderLoader:
                     if stop.is_set():
                         return
                     sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                    if not self.train and len(sel) < self.batch_size:
+                        # pad the final eval batch to the static batch shape
+                        sel = np.concatenate(
+                            [sel, np.full(self.batch_size - len(sel), -1,
+                                          np.int64)])
+                    pad = sel < 0
+                    sel = np.where(pad, 0, sel)
                     seeds = base_rng.integers(0, 2**31, len(sel))
                     if use_native:
                         # first-party C++ decode/transform pipeline
@@ -363,6 +385,9 @@ class FolderLoader:
                         x = np.stack(list(pool.map(aug_one,
                                                    zip(x, seeds))))
                     y = self.labels[sel].astype(np.int32)
+                    if pad.any():
+                        x[pad] = 0
+                        y[pad] = -1   # sentinel, masked in eval reductions
                     out_q.put((x, y))
             out_q.put(None)
 
@@ -444,7 +469,10 @@ class ArrayLoader:
         self.epoch = epoch
 
     def __len__(self):
-        return (len(self.x) // self.pcount) // self.batch_size
+        if self.train:
+            return (len(self.x) // self.pcount) // self.batch_size
+        shard = -(-len(self.x) // self.pcount)
+        return -(-shard // self.batch_size)
 
     def __iter__(self):
         from PIL import Image
@@ -453,10 +481,21 @@ class ArrayLoader:
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(n)[self.pid::self.pcount]
         else:
-            shard = n // self.pcount
-            idx = np.arange(self.pid * shard, (self.pid + 1) * shard)
+            # padded full-coverage eval shards (see FolderLoader._indices)
+            shard = -(-n // self.pcount)
+            idx = np.full(shard * self.pcount, -1, np.int64)
+            idx[:n] = np.arange(n)
+            idx = idx[self.pid * shard:(self.pid + 1) * shard]
         for b in range(len(self)):
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            pad = None
+            if not self.train:
+                if len(sel) < self.batch_size:
+                    sel = np.concatenate(
+                        [sel, np.full(self.batch_size - len(sel), -1,
+                                      np.int64)])
+                pad = sel < 0
+                sel = np.where(pad, 0, sel)
             if self.img_size != self.x.shape[1]:
                 imgs = [np.asarray(
                     Image.fromarray(self.x[i]).resize(
@@ -469,4 +508,9 @@ class ArrayLoader:
                 rng2 = np.random.default_rng(
                     (self.seed + self.epoch) * 7919 + b)
                 xb = np.stack([self.aug(img, rng2) for img in xb])
-            yield xb, self.y[sel]
+            yb = self.y[sel].astype(np.int32)
+            if pad is not None and pad.any():
+                xb = xb.copy()
+                xb[pad] = 0
+                yb[pad] = -1
+            yield xb, yb

@@ -293,10 +293,15 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
                           patch_hard=True,
                           rng=key, train=False, dtype=dtype)
         logits = model.eval_logits(out, cfg)
+        # label -1 marks padding rows from the full-coverage eval sharding
+        # (data/pipeline.py); they are masked out of every reduction
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        correct = (jnp.argmax(logits, axis=-1) == labels)
-        return {"correct": jnp.sum(correct), "loss_sum": jnp.sum(nll),
-                "count": jnp.asarray(labels.shape[0], jnp.int32)}
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        correct = (jnp.argmax(logits, axis=-1) == labels) & valid
+        return {"correct": jnp.sum(correct),
+                "loss_sum": jnp.sum(jnp.where(valid, nll, 0.0)),
+                "count": jnp.sum(valid.astype(jnp.int32))}
 
     return jax.jit(step)
