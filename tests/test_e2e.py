@@ -125,3 +125,35 @@ def test_stage1_resume_past_end_returns_masks(tmp_path):
     import numpy as np
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
                  r1.masks, r2.masks)
+
+
+def test_stage1_orbax_checkpoint_roundtrip(tmp_path):
+    """--use_orbax saves via the orbax manager; resume accepts the orbax
+    directory and continues duals exactly like the msgpack path."""
+    import numpy as np
+
+    from uvc_tpu.cli.joint_train import main
+    from uvc_tpu.utils.checkpoint import OrbaxManager
+
+    common = [
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "3",
+        "--warmup_epochs", "0", "--post_num_epochs", "0",
+        "--warmup_steps", "1", "--enable_patch_gating", "0",
+        "--gating_interval", "2", "--enable_warmup", "0",
+        "--dp", "1", "--output_dir", str(tmp_path),
+    ]
+    main(common + ["--num_epochs", "1", "--name", "oa", "--use_orbax", "1"])
+    odir = str(tmp_path / "oa" / "orbax")
+    mgr = OrbaxManager(odir)
+    assert mgr.latest_step() == 1
+    z1 = float(np.asarray(mgr.restore()["cstate"]["z"]))
+    main(common + ["--num_epochs", "2", "--name", "ob", "--resume", odir])
+    ck2_dir = tmp_path / "ob"
+    import glob
+    ck2 = sorted(glob.glob(str(ck2_dir / "*.ckpt")))[-1]
+    from uvc_tpu.utils.checkpoint import load_checkpoint
+    ck = load_checkpoint(ck2)
+    assert int(ck["global_step"]) == 6
+    assert float(np.asarray(ck["cstate"]["z"])) > z1

@@ -90,8 +90,13 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="steps per epoch for --dataset synthetic")
     p.add_argument("--resume", type=str, default=None,
                    help="resume full training state from a stage-1 .ckpt "
-                        "(beyond reference parity: the reference UVC "
-                        "drivers cannot resume)")
+                        "file or an orbax checkpoint directory (beyond "
+                        "reference parity: the reference UVC drivers "
+                        "cannot resume)")
+    p.add_argument("--use_orbax", default=0, type=int,
+                   help="save stage-1 checkpoints with the orbax manager "
+                        "(async-capable, keeps latest 3) instead of "
+                        "msgpack files")
 
 
 def add_uvc_flags(p: argparse.ArgumentParser) -> None:

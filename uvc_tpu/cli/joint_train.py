@@ -125,7 +125,7 @@ def main(argv=None):
                         output_dir=args.output_dir, name=args.name,
                         log_interval=args.log_interval,
                         resume=args.resume, mesh=mesh, mp=args.mp,
-                        logger=logger)
+                        use_orbax=bool(args.use_orbax), logger=logger)
 
     # inline stage-2 (reference: joint_train.py:1032-1033)
     from uvc_tpu.train.stage2 import run_stage2

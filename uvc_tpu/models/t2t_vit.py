@@ -153,8 +153,8 @@ def init_token_transformer(key: jax.Array, dim: int, in_dim: int) -> dict:
 def apply_token_transformer(p: dict, x: jax.Array, dim: int,
                             dtype=jnp.float32) -> jax.Array:
     in_dim = p["proj"]["kernel"].shape[0]
-    scale = (dim) ** -0.5 if False else (dim // 1) ** -0.5
     # reference: head_dim = dim // num_heads (=dim), scale = head_dim**-0.5
+    scale = dim ** -0.5
     xn = _layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], 1e-5)
     qkv = (xn @ p["qkv"]["kernel"].astype(dtype)
            + p["qkv"]["bias"].astype(dtype))

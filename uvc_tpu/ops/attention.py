@@ -138,7 +138,7 @@ def _call_fwd(q, k, v, scale: float, n_valid: int, interpret: bool = False):
     b, h, np_, dh = q.shape
     g = _group(b, h, 4)
     spec = pl.BlockSpec((g, h, np_, dh), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, n_valid=n_valid,
                           heads=h, group=g),
@@ -156,7 +156,7 @@ def _call_bwd(q, k, v, do, scale: float, n_valid: int,
     b, h, np_, dh = q.shape
     g = _group(b, h, 7)
     spec = pl.BlockSpec((g, h, np_, dh), lambda i: (i, 0, 0, 0),
-                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((b, h, np_, dh), q.dtype)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, n_valid=n_valid,

@@ -106,6 +106,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                name: str = "debug", log_interval: int = 2000,
                eval_each_epoch: bool = True, save_checkpoints: bool = True,
                resume: Optional[str] = None, mesh=None, mp: int = 1,
+               use_orbax: bool = False,
                logger: Optional[MetricLogger] = None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
@@ -132,9 +133,17 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         # resume at all — they save only model.state_dict(),
         # joint_train.py:107-119; parity model is the baseline suite's
         # full resume, Baseline_pruning/main.py:400-415)
-        from uvc_tpu.utils.checkpoint import load_checkpoint
+        import os
+
         from flax import serialization
-        ck = load_checkpoint(resume)
+
+        from uvc_tpu.utils.checkpoint import OrbaxManager, load_checkpoint
+        if os.path.isdir(resume):
+            # an orbax checkpoint directory (written with use_orbax=True):
+            # restore the latest step
+            ck = OrbaxManager(resume).restore()
+        else:
+            ck = load_checkpoint(resume)
         state = TrainState(
             step=jnp.asarray(ck["global_step"], jnp.int32),
             params=serialization.from_state_dict(state.params,
@@ -188,6 +197,13 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         uvc_micro = build_stage1_step(cfg, table, hp, thp, warmup=False,
                                       micro=True)
     eval_step = build_eval_step(cfg, hp, thp, masked=False)
+
+    # orbax: async-capable, multi-host-safe manager keeping the latest few
+    # epochs; resume by passing its directory as --resume
+    ck_mgr = None
+    if save_checkpoints and use_orbax:
+        from uvc_tpu.utils.checkpoint import OrbaxManager
+        ck_mgr = OrbaxManager(f"{logger.dir}/orbax")
 
     best_acc = 0.0
     global_step = resumed_step
@@ -294,12 +310,15 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             # params stored once; cstate/opt_state carry the full
             # resumable training state (AdamW moments, minimax optimizer
             # traces, gating accumulator)
-            save_checkpoint(
-                f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
-                {"params": state.params,
-                 "cstate": serialization.to_state_dict(state.cstate),
-                 "opt_state": serialization.to_state_dict(state.opt_state),
-                 "masks": masks, "epoch": epoch, "step": global_step,
-                 "global_step": global_step, "key_seed": seed + epoch})
+            tree = {"params": state.params,
+                    "cstate": serialization.to_state_dict(state.cstate),
+                    "opt_state": serialization.to_state_dict(state.opt_state),
+                    "masks": masks, "epoch": epoch, "step": global_step,
+                    "global_step": global_step, "key_seed": seed + epoch}
+            if ck_mgr is not None:
+                ck_mgr.save(epoch, tree)
+            else:
+                save_checkpoint(f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
+                                tree)
 
     return Stage1Result(state=state, masks=masks, best_acc=best_acc)
