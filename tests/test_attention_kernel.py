@@ -56,3 +56,85 @@ def test_padding_mask_excludes_padded_keys():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
     assert out.shape == (b, h, n, dh)
+
+
+# ---------------------------------------------------------------------------
+# fused layer kernel (qkv + attention + mask + proj in one program)
+# ---------------------------------------------------------------------------
+
+
+def _composed_layer(x, wqkv, bqkv, wproj, bproj, mask, heads, scale):
+    b, n, d = x.shape
+    dh = d // heads
+    qkv = (x @ wqkv + bqkv).reshape(b, n, 3, heads, dh)
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    ctx = reference_attention(q, k, v, scale)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, d) * mask
+    return ctx @ wproj + bproj
+
+
+def _layer_inputs(b=2, n=12, d=16):
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    x = jax.random.normal(ks[0], (b, n, d))
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) * 0.1
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.1
+    wproj = jax.random.normal(ks[3], (d, d)) * 0.1
+    bproj = jax.random.normal(ks[4], (d,)) * 0.1
+    mask = (jax.random.uniform(ks[5], (d,)) > 0.3).astype(jnp.float32)
+    return x, wqkv, bqkv, wproj, bproj, mask
+
+
+def test_fused_layer_fwd_matches_composition():
+    from uvc_tpu.ops.attention import fused_layer_attention
+    args = _layer_inputs()
+    heads, scale = 2, (args[0].shape[-1] // 2) ** -0.5
+    ref = _composed_layer(*args, heads, scale)
+    out = fused_layer_attention(*args, num_heads=heads, scale=scale,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_layer_vjp_matches_composition():
+    """The combined backward kernel (_bwd_ctx_kernel: softmax recomputed
+    once, ctx emitted alongside dq/dk/dv) must produce the same grads as
+    autodiff through the plain composition — including the structural-mask
+    grad, which feeds the UVC score path."""
+    from uvc_tpu.ops.attention import fused_layer_attention
+    args = _layer_inputs()
+    heads, scale = 2, (args[0].shape[-1] // 2) ** -0.5
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_layer(*a, heads, scale) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention(
+            *a, num_heads=heads, scale=scale, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    for name, a, b_ in zip(["dx", "dwqkv", "dbqkv", "dwproj", "dbproj",
+                            "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_remat_policy_grads_match_norecompute():
+    """transformer_encode's save_only_these_names("attn_out") policy must
+    not change gradients vs remat=False (pure memory/scheduling choice)."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+
+    cfg = get_config("testing")
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(key, cfg)
+    x = jax.random.normal(key, (2, cfg.seq_len, cfg.embed_dim))
+
+    def loss(p, remat):
+        return jnp.sum(vit.transformer_encode(p, x, cfg, remat=remat) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)

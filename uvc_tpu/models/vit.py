@@ -27,6 +27,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.ops.gumbel import gumbel_topk_mask
@@ -168,6 +169,9 @@ def _mlp(x, blk, mlp_mask_row, dtype):
     # VPU-bound; the MLP is left to XLA.
     h = (x @ blk["fc1"]["kernel"].astype(dtype)
          + blk["fc1"]["bias"].astype(dtype))
+    # NOTE: name-saving the pre-GELU hidden here (so the replay skips the
+    # fc1 matmul) was measured SLOWER (-13% step): materializing [B, N, 4D]
+    # per layer costs more HBM bandwidth than the recompute costs MXU time
     # gelu in compute dtype — matches torch AMP autocast, which runs GELU
     # in half precision (the reference trains under autocast/apex O2)
     h = jax.nn.gelu(h, approximate=False)
@@ -351,6 +355,11 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
         def run_block(z):
             a_in = _layer_norm(z, blk["ln1"]["scale"], blk["ln1"]["bias"], eps)
             a_out = _attention(a_in, blk, cfg.num_heads, scale, attn_m, dtype)
+            # named for the remat policy below: saving the attention-sublayer
+            # output lets the backward replay skip the fused attention
+            # forward entirely (the Pallas call is dead code in the replay
+            # and DCE'd) — one full attention recompute deleted per block
+            a_out = checkpoint_name(a_out, "attn_out")
             if use_dp:
                 a_out = drop_path(a_out, jax.random.fold_in(dp_key, 0),
                                   dp_rate.astype(jnp.float32))
@@ -388,7 +397,13 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
           None if masks is None else masks["attn"],
           None if masks is None else masks["mlp"],
           dp_keys, dp_rates)
-    body = jax.checkpoint(block_body) if remat else block_body
+    # remat policy: keep each block's attention-sublayer output ([B, N, D]
+    # per layer — ~40 MB/layer at DeiT-Small B=256) so the backward replay
+    # recomputes only layernorms + the MLP linearization points, never the
+    # attention sublayer; its own VJP recomputes the softmax exactly once
+    # inside the combined backward kernel (ops/attention.py _bwd_ctx_kernel)
+    policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+    body = jax.checkpoint(block_body, policy=policy) if remat else block_body
     init = (x, jnp.zeros_like(x)) if jumping else x
     out_carry, _ = jax.lax.scan(body, init, xs)
     x = out_carry[1] if jumping else out_carry

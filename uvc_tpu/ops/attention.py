@@ -129,6 +129,50 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             dv_ref[g, h] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_ctx_kernel(q_ref, k_ref, v_ref, do_ref, ctx_ref, dq_ref, dk_ref,
+                    dv_ref, *, scale: float, n_valid: int, heads: int,
+                    group: int):
+    """Backward that also emits the forward context.
+
+    The fused-layer VJP needs ctx (for the proj-weight and mask grads) in
+    addition to dq/dk/dv.  The backward already recomputes the softmax, so
+    ctx costs one extra [N,N]x[N,dh] matmul here — strictly cheaper than a
+    separate forward kernel run (which repeats qk^T and the softmax too).
+    """
+    np_ = q_ref.shape[-2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    bias = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    for g in range(group):
+        for h in range(heads):
+            q = q_ref[g, h].astype(jnp.bfloat16)
+            k = k_ref[g, h].astype(jnp.bfloat16)
+            v = v_ref[g, h].astype(jnp.bfloat16)
+            do = do_ref[g, h].astype(jnp.bfloat16)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            probs = p / s                                 # f32 [N, N]
+            pb = probs.astype(jnp.bfloat16)
+            ctx = jnp.dot(pb, v, preferred_element_type=jnp.float32)
+            dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+            ds = (probs * (dp - row)).astype(jnp.bfloat16)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) \
+                * scale
+            ctx_ref[g, h] = ctx.astype(ctx_ref.dtype)
+            dq_ref[g, h] = dq.astype(dq_ref.dtype)
+            dk_ref[g, h] = dk.astype(dk_ref.dtype)
+            dv_ref[g, h] = dv.astype(dv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
@@ -165,6 +209,25 @@ def _call_bwd(q, k, v, do, scale: float, n_valid: int,
         in_specs=[spec] * 4,
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(q, k, v, do)
+
+
+def _call_bwd_ctx(q, k, v, do, scale: float, n_valid: int,
+                  interpret: bool = False):
+    b, h, np_, dh = q.shape
+    g = _group(b, h, 8)
+    spec = pl.BlockSpec((g, h, np_, dh), lambda i: (i, 0, 0, 0),
+                        memory_space=pl.ANY if interpret else pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b, h, np_, dh), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_ctx_kernel, scale=scale, n_valid=n_valid,
+                          heads=h, group=g),
+        grid=(b // g,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec, spec),
+        out_shape=(shape, shape, shape, shape),
         interpret=interpret,
         **({} if interpret else _compiler_params()),
     )(q, k, v, do)
@@ -278,7 +341,8 @@ def _layer_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
 
 
 def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
-                          num_heads: int, scale: float):
+                          num_heads: int, scale: float,
+                          interpret: bool = False):
     """One transformer attention sublayer — qkv projection, multi-head
     softmax attention, structural ctx mask, output projection — as a
     single Pallas program.  The qkv activations and attention
@@ -288,32 +352,34 @@ def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
 
     x: [B, N, D] (any N); mask: [D] structural keep mask over ctx columns
     (pass ones when unmasked).  Differentiable via a composed VJP: the
-    backward recomputes qkv with XLA matmuls and reuses the fused
-    attention-core backward kernel.
+    backward recomputes qkv with one XLA matmul and runs a single combined
+    Pallas program that recomputes the softmax once and emits ctx + dq/dk/dv
+    (no separate forward re-run).
     """
     b, n, _ = x.shape
     np_ = _pad_len(n)
     if np_ != n:
         x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
     out = _fused_layer(x, wqkv, bqkv, wproj, bproj, mask,
-                       float(scale), n, num_heads)
+                       float(scale), n, num_heads, interpret)
     return out[:, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
-                 num_heads):
+                 num_heads, interpret):
     b, np_, dm = x.shape              # model width
     da = wqkv.shape[1] // 3           # attention width (== dm pre-compact)
     g = _layer_group(b, max(dm, da), np_)
+    mspace = pl.ANY if interpret else pltpu.VMEM
     xspec = pl.BlockSpec((g, np_, dm), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+                         memory_space=mspace)
     ospec = pl.BlockSpec((g, np_, wproj.shape[1]), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+                         memory_space=mspace)
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
-                            memory_space=pltpu.VMEM)
+                            memory_space=mspace)
 
     return pl.pallas_call(
         functools.partial(_layer_fwd_kernel, scale=scale, n_valid=n_valid,
@@ -324,18 +390,19 @@ def _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
                   wspec((da,))],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, np_, wproj.shape[1]), x.dtype),
-        **_compiler_params(),
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
     )(x, wqkv, bqkv, wproj, bproj, mask)
 
 
 def _fused_layer_fwd(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
-                     num_heads):
+                     num_heads, interpret):
     out = _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
-                       num_heads)
+                       num_heads, interpret)
     return out, (x, wqkv, bqkv, wproj, bproj, mask)
 
 
-def _fused_layer_bwd(scale, n_valid, num_heads, res, dout):
+def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     x, wqkv, bqkv, wproj, bproj, mask = res
     b, np_, d = x.shape
     # training always uses square widths; rectangular (compacted serving)
@@ -343,23 +410,25 @@ def _fused_layer_bwd(scale, n_valid, num_heads, res, dout):
     assert wqkv.shape[1] == 3 * d, (
         "fused-layer backward supports square model/attention widths only")
     dh = d // num_heads
-    # recompute qkv (one XLA matmul) and the attention forward pieces
+    # recompute qkv (one XLA matmul); the attention forward is NOT re-run —
+    # the combined kernel below recomputes the softmax once and emits ctx
     qkv = (x @ wqkv + bqkv).reshape(b, np_, 3, num_heads, dh)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    ctx = _call_fwd(q, k, v, scale, n_valid)          # [B, H, N, dh]
-    ctx2 = ctx.transpose(0, 2, 1, 3).reshape(b, np_, d) * mask
 
     dout32 = dout.astype(jnp.float32)
-    dwproj = jnp.einsum("bnd,bne->de", ctx2.astype(jnp.float32),
-                        dout32).astype(wproj.dtype)
     dbproj = jnp.sum(dout32, axis=(0, 1)).astype(bproj.dtype)
     dctx2 = (dout @ wproj.T) * mask
+    dctx = dctx2.reshape(b, np_, num_heads, dh).transpose(0, 2, 1, 3)
+    ctx, dq, dk, dv = _call_bwd_ctx(q, k, v, dctx.astype(q.dtype), scale,
+                                    n_valid, interpret)
+    ctx_flat = ctx.transpose(0, 2, 1, 3).reshape(b, np_, d)
+    dwproj = jnp.einsum(
+        "bnd,bne->de", (ctx_flat * mask).astype(jnp.float32),
+        dout32).astype(wproj.dtype)
     dmask = jnp.sum(
         dout32 @ wproj.astype(jnp.float32).T
-        * ctx.transpose(0, 2, 1, 3).reshape(b, np_, d).astype(jnp.float32),
+        * ctx_flat.astype(jnp.float32),
         axis=(0, 1)).astype(mask.dtype)
-    dctx = dctx2.reshape(b, np_, num_heads, dh).transpose(0, 2, 1, 3)
-    dq, dk, dv = _call_bwd(q, k, v, dctx.astype(q.dtype), scale, n_valid)
     dqkv = jnp.stack([dq, dk, dv], axis=2)            # [B, H, 3, N, dh]
     dqkv = dqkv.transpose(0, 3, 2, 1, 4).reshape(b, np_, 3 * d)
     dx = dqkv @ wqkv.T
