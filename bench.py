@@ -1,14 +1,21 @@
-"""Benchmark: stage-1 UVC train-step throughput on DeiT-Small.
+"""Benchmark: stage-1 UVC train-step throughput + MFU, three backbones.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline metric = DeiT-Small stage-1 img/s per chip
+(the round-over-round comparable); the same line carries `mfu` and a
+`models` dict with DeiT-Base and T2T-ViT-14 rows so regressions off the
+flagship are driver-visible.
 
 Baseline derivation (BASELINE.md / SURVEY.md §6): the reference's only
-wall-clock evidence is DeiT-Base stage-1 at 512 img / 2.33 s/it in warmup
-(~220 img/s whole-job) and ~146 img/s in the UVC phase on the training
-cluster (log/deit-base-log.log), i.e. ~36 img/s per GPU at 17.6 GFLOPs.
-Scaling by the FLOPs ratio to DeiT-Small (4.6 GFLOPs) gives ~140 img/s per
-GPU for the UVC phase.  vs_baseline reports our per-chip img/s divided by
-that 140 img/s per-device estimate.
+wall-clock evidence is DeiT-Base stage-1 at ~36 img/s per GPU in the UVC
+phase (log/deit-base-log.log, 512 img / 2.33 s/it warmup, ~146 img/s
+whole-job on 4 GPUs).  Other models scale by the dense-forward FLOPs ratio
+(DeiT-Small -> ~137 img/s per GPU, etc.).
+
+MFU accounting: model FLOPs per image = 3x student forward (fwd + 2x for
+backward) + 1x teacher forward — remat recomputation is NOT counted
+(standard MFU convention).  Peak = 197 TFLOP/s bf16 (TPU v5e).  Forward
+FLOPs come from the analytic MacsTable (dense, ungated — the stage-1
+model's gating/token-selection overheads make this a slight undercount).
 """
 
 import json
@@ -17,36 +24,34 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_IMG_PER_SEC_PER_DEVICE = 140.0
+REFERENCE_BASE_IMG_PER_SEC_PER_GPU = 36.0   # DeiT-Base UVC phase, per GPU
+PEAK_FLOPS = 197e12                          # TPU v5e bf16
 
 
-def main():
+def bench_model(config_name, batch, steps, *, on_tpu):
     from uvc_tpu.configs import get_config
     from uvc_tpu.compress.minimax import init_compression_state
     from uvc_tpu.compress.resource import build_macs_table
     from uvc_tpu.compress.state import MinimaxHParams
-    from uvc_tpu.models import vit
+    from uvc_tpu.models import get_model
     from uvc_tpu.train.state import TrainHParams, create_train_state
     from uvc_tpu.train.step import build_stage1_step
 
-    cfg = get_config("deit_small_patch16_224")
+    cfg = get_config(config_name)
     hp = MinimaxHParams(enable_patch_gating=2, gating_interval=100)
-    # the TPU may surface under a plugin platform name (e.g. "axon"), so
-    # detect "accelerator" as anything that is not host CPU
-    on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 256 if on_tpu else 16
-    steps = 30 if on_tpu else 3
     thp = TrainHParams(num_classes=1000, t_total=10000, warmup_steps=500,
-                       compute_dtype=jnp.bfloat16)
+                      compute_dtype=jnp.bfloat16)
     table = build_macs_table(cfg)
+    model = get_model(cfg)
 
     key = jax.random.PRNGKey(0)
-    params = vit.init_params(key, cfg)
-    teacher = vit.init_params(jax.random.PRNGKey(1), cfg)
+    params = model.init_params(key, cfg)
+    teacher = model.init_params(jax.random.PRNGKey(1), cfg)
     state = create_train_state(params, thp, init_compression_state(cfg, hp))
     step = build_stage1_step(cfg, table, hp, thp, warmup=False)
 
-    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    x = jax.random.normal(key, (batch, cfg.img_size, cfg.img_size, 3),
+                          jnp.float32)
     y = jnp.zeros((batch,), jnp.int32)
 
     # warmup/compile; device_get (not block_until_ready) — only a D2H fetch
@@ -66,14 +71,41 @@ def main():
             float(jax.device_get(m["loss"]))
     float(jax.device_get(m["loss"]))
     dt = time.perf_counter() - t0
+
     img_per_sec = batch * steps / dt
+    fwd_flops = float(table.dense_flops)           # FLOPs per image, fwd
+    step_flops_per_img = 4.0 * fwd_flops           # 3x student + 1x teacher
+    mfu = img_per_sec * step_flops_per_img / PEAK_FLOPS
+    baseline = REFERENCE_BASE_IMG_PER_SEC_PER_GPU * 35126.12e6 / fwd_flops
+    return {
+        "img_per_sec": round(img_per_sec, 2),
+        "vs_baseline": round(img_per_sec / baseline, 3),
+        "mfu": round(mfu, 4),
+    }
+
+
+def main():
+    # the TPU may surface under a plugin platform name (e.g. "axon"), so
+    # detect "accelerator" as anything that is not host CPU
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    small = bench_model("deit_small_patch16_224",
+                        256 if on_tpu else 16, 30 if on_tpu else 3,
+                        on_tpu=on_tpu)
+    models = {}
+    if on_tpu:   # secondary rows: regression visibility off the flagship
+        models["deit_base_patch16_224"] = bench_model(
+            "deit_base_patch16_224", 128, 10, on_tpu=on_tpu)
+        models["t2t_vit_14"] = bench_model("t2t_vit_14", 256, 10,
+                                           on_tpu=on_tpu)
 
     print(json.dumps({
         "metric": "deit_small_stage1_uvc_train_throughput_per_chip",
-        "value": round(img_per_sec, 2),
+        "value": small["img_per_sec"],
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC_PER_DEVICE,
-                             3),
+        "vs_baseline": small["vs_baseline"],
+        "mfu": small["mfu"],
+        "models": models,
     }))
 
 

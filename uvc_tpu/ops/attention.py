@@ -395,6 +395,146 @@ def _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
     )(x, wqkv, bqkv, wproj, bproj, mask)
 
 
+def _layer_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, mask_ref, do_ref,
+                      dx_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+                      dmask_ref, *, scale: float, n_valid: int, heads: int,
+                      group: int, d: int):
+    """Whole attention-sublayer backward in one program.
+
+    Recomputes qkv and the softmax in VMEM (weights are grid-resident), and
+    accumulates the weight/bias/mask grads across the sequential grid into
+    f32 output blocks (constant index_map -> the accumulators stay in VMEM
+    for the whole grid and are written back once).  Replaces ~10 XLA ops
+    whose [B,N,3D]-sized stack/transpose relayouts dominated the composed
+    backward's runtime (measured: the composed path moved >6x more HBM
+    traffic than the math requires).
+
+    Padded rows are correct by construction: x and dout padded rows are
+    zero (pad + slice-VJP), so every accumulated product they touch is zero,
+    and padded keys are masked from the softmax via the -1e30 bias.
+    """
+    np_ = x_ref.shape[-2]
+    dh = d // heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref, dmask_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    bias = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    maskv = mask_ref[...].astype(jnp.float32)
+    for g in range(group):
+        xb = x_ref[g].astype(jnp.bfloat16)
+        do = do_ref[g].astype(jnp.bfloat16)
+        qkv = (jnp.dot(xb, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(do, wproj_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        dctx = (t * maskv).astype(jnp.bfloat16)       # [N, D]
+        ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+        for h in range(heads):
+            q = qkv[:, h * dh:(h + 1) * dh]
+            k = qkv[:, d + h * dh:d + (h + 1) * dh]
+            v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            doh = dctx[:, h * dh:(h + 1) * dh]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            probs = p / s
+            pb = probs.astype(jnp.bfloat16)
+            ctx_parts.append(jnp.dot(pb, v,
+                                     preferred_element_type=jnp.float32))
+            dv_parts.append(jax.lax.dot_general(
+                pb, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+            ds = (probs * (dp - row)).astype(jnp.bfloat16)
+            dq_parts.append(
+                jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale)
+            dk_parts.append(jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        ctx = jnp.concatenate(ctx_parts, axis=-1)      # [N, D] f32
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=-1),
+             jnp.concatenate(dk_parts, axis=-1),
+             jnp.concatenate(dv_parts, axis=-1)], axis=-1) \
+            .astype(jnp.bfloat16)                      # [N, 3D]
+        dx_ref[g] = jax.lax.dot_general(
+            dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            xb, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+        dwproj_ref[...] += jax.lax.dot_general(
+            (ctx * maskv).astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbproj_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+        dmask_ref[...] += jnp.sum(t * ctx, axis=0, keepdims=True)
+
+
+def _layer_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
+    """Batch group for the fused sublayer backward, or None when the f32
+    weight-grad accumulators + weights + block DMA don't fit the ~13M VMEM
+    budget (DeiT-Base D=768 overflows -> composed fallback)."""
+    weights = 4 * d * d * 2                 # wqkv + wproj, bf16, resident
+    accums = 4 * d * d * 4                  # dwqkv + dwproj, f32, resident
+    scratch = (np_ * 3 * d * 2 * 2          # qkv + dqkv, bf16
+               + np_ * d * 10               # t (f32) + dctx (bf16) + ctx (f32)
+               + 3 * np_ * np_ * 4)         # logits/probs/dp, f32
+    for g in (4, 2, 1):
+        if b % g:
+            continue
+        blocks = 3 * g * np_ * d * 2 * 2    # x, do, dx double-buffered
+        if weights + accums + scratch + blocks < 13 * 1024 * 1024:
+            return g
+    return None
+
+
+def _call_layer_bwd(x, wqkv, bqkv, wproj, mask, do, scale, n_valid,
+                    num_heads, g, interpret=False):
+    b, np_, d = x.shape
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    xspec = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
+                         memory_space=mspace)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=mspace)
+
+    f32 = jnp.float32
+    # the accumulator outputs use a constant index_map: the grid revisits
+    # the same block every step, so Mosaic keeps it VMEM-resident for the
+    # whole (sequential) grid and writes back once — do NOT mark the grid
+    # parallel here
+    return pl.pallas_call(
+        functools.partial(_layer_bwd_kernel, scale=scale, n_valid=n_valid,
+                          heads=num_heads, group=g, d=d),
+        grid=(b // g,),
+        in_specs=[xspec, cspec((d, 3 * d)), cspec((3 * d,)),
+                  cspec((d, d)), cspec((d,)), xspec],
+        out_specs=(xspec, cspec((d, 3 * d)), cspec((1, 3 * d)),
+                   cspec((d, d)), cspec((1, d)), cspec((1, d))),
+        out_shape=(jax.ShapeDtypeStruct((b, np_, d), x.dtype),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        interpret=interpret,
+    )(x, wqkv, bqkv, wproj, mask, do)
+
+
 def _fused_layer_fwd(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
                      num_heads, interpret):
     out = _fused_layer(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
@@ -410,8 +550,21 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     assert wqkv.shape[1] == 3 * d, (
         "fused-layer backward supports square model/attention widths only")
     dh = d // num_heads
-    # recompute qkv (one XLA matmul); the attention forward is NOT re-run —
-    # the combined kernel below recomputes the softmax once and emits ctx
+    g = _layer_bwd_group(b, d, np_)
+    if g is not None:
+        # whole-sublayer backward in one Pallas program: qkv + softmax
+        # recomputed in VMEM, weight grads accumulated across the grid —
+        # no [B,N,3D] relayouts or pad copies touch HBM at all
+        dx, dwqkv, dbqkv, dwproj, dbproj, dmask = _call_layer_bwd(
+            x, wqkv, bqkv, wproj, mask, dout, scale, n_valid, num_heads,
+            g, interpret)
+        return (dx, dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj[0].astype(bproj.dtype),
+                dmask[0].astype(mask.dtype))
+    # composed fallback (wide models whose f32 weight-grad accumulators
+    # don't fit VMEM): recompute qkv with one XLA matmul; the attention
+    # forward is NOT re-run — the combined kernel below recomputes the
+    # softmax once and emits ctx
     qkv = (x @ wqkv + bqkv).reshape(b, np_, 3, num_heads, dh)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
