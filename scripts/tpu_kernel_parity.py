@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uvc_tpu.ops.attention import (_layer_bwd_group, _pad_len,
+from uvc_tpu.ops.attention import (_head_group_split, _pad_len,
                                    fused_layer_attention,
                                    reference_attention)
 
@@ -75,8 +75,9 @@ def check(name, b, n, d, heads, tol=2e-2):
     of, oo = jax.device_get(fused(*args)), jax.device_get(oracle(*args))
     e = rel_err(of, oo)
     ok = e < tol
-    bwd_kind = ("fused-bwd" if _layer_bwd_group(b, d, _pad_len(n)) else
-                "composed-bwd")
+    ng, _ = _head_group_split(b, d, heads, _pad_len(n))
+    bwd_kind = ("composed-bwd" if ng is None else
+                "fused-bwd" if ng == 1 else f"fused-bwd-x{ng}")
     print(f"{name:12s} fwd  rel_err={e:.4f} "
           f"{'PASS' if ok else 'FAIL'}")
     all_ok = ok

@@ -138,3 +138,38 @@ def test_remat_policy_grads_match_norecompute():
     for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_layer_vjp_head_group_split():
+    """Wide widths route through the head-group-split backward (the same
+    kernel per group, dwqkv columns / dwproj rows reassembled, partial dx
+    summed).  d=768/heads=6 with N->128 padding triggers ng=2 on the VMEM
+    estimate; grads must still match the composition."""
+    from uvc_tpu.ops.attention import (_head_group_split, _pad_len,
+                                       fused_layer_attention)
+    b, n, d, heads = 1, 12, 768, 6
+    ng, _ = _head_group_split(b, d, heads, _pad_len(n))
+    assert ng == 2, f"expected the split path, got ng={ng}"
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    x = jax.random.normal(ks[0], (b, n, d)) * 0.5
+    wqkv = jax.random.normal(ks[1], (d, 3 * d)) * 0.03
+    bqkv = jax.random.normal(ks[2], (3 * d,)) * 0.03
+    wproj = jax.random.normal(ks[3], (d, d)) * 0.03
+    bproj = jax.random.normal(ks[4], (d,)) * 0.03
+    mask = (jax.random.uniform(ks[5], (d,)) > 0.3).astype(jnp.float32)
+    scale = (d // heads) ** -0.5
+    args = (x, wqkv, bqkv, wproj, bproj, mask)
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_layer(*a, heads, scale) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention(
+            *a, num_heads=heads, scale=scale, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    for name, a, b_ in zip(["dx", "dwqkv", "dbqkv", "dwproj", "dbproj",
+                            "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)

@@ -127,7 +127,10 @@ def add_uvc_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--patch_ratio", type=float, default=0.9)
     p.add_argument("--z_grad_clip", default=0.5, type=float)
     p.add_argument("--gating_interval", default=100, type=int)
-    p.add_argument("--gating_weight", default=5, type=float)
+    p.add_argument("--gating_weight", default=5, type=float,
+                   help="resource-pressure multiplier on the gating grad "
+                        "(reference default 5; the published DeiT-Tiny/"
+                        "Small runs use 5e-4 — log Namespace)")
     p.add_argument("--patch_weight", default=5, type=float,
                    help="INERT (reference parity)")
     p.add_argument("--patch_l1_weight", default=0.01, type=float,

@@ -299,7 +299,9 @@ def _layer_group(b: int, d: int, np_: int) -> int:
         if b % g != 0:
             continue
         blocks = 2 * g * np_ * d * 2 * 2       # x+out, double-buffered
-        scratch = np_ * 3 * d * 2 + np_ * np_ * 4 * 2
+        # qkv + ctx live for the whole group (flattened matmuls) + f32
+        # logits temporaries
+        scratch = g * np_ * 4 * d * 2 + np_ * np_ * 4 * 2
         if weights + blocks + scratch < 13 * 1024 * 1024:
             return g
     return 1
@@ -311,19 +313,24 @@ def _layer_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     # d here is the ATTENTION width (wqkv out // 3); the model width is
     # x_ref's last dim — they differ for compacted serving models
     np_ = x_ref.shape[-2]
+    dm = x_ref.shape[-1]
     dh = d // heads
     col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
     bias = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    # qkv/proj matmuls run flattened over the whole batch group ([g*N, D]
+    # rows amortize MXU pipeline fill better than g separate [N, D] calls);
+    # only the per-head attention core loops
+    x_all = x_ref[...].reshape(group * np_, dm)
+    qkv = (jnp.dot(x_all, wqkv_ref[...],
+                   preferred_element_type=jnp.float32)
+           + bqkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = qkv.reshape(group, np_, 3 * d)
+    ctxs = []
     for g in range(group):
-        xb = x_ref[g]
-        qkv = (jnp.dot(xb, wqkv_ref[...],
-                       preferred_element_type=jnp.float32)
-               + bqkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
-        ctxs = []
         for h in range(heads):
-            q = qkv[:, h * dh:(h + 1) * dh]
-            k = qkv[:, d + h * dh:d + (h + 1) * dh]
-            v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            q = qkv[g, :, h * dh:(h + 1) * dh]
+            k = qkv[g, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv[g, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + bias
@@ -332,12 +339,14 @@ def _layer_fwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
             s = jnp.sum(p, axis=-1, keepdims=True)
             ctxs.append(jnp.dot(p.astype(jnp.bfloat16), v,
                                 preferred_element_type=jnp.float32) / s)
-        ctx = jnp.concatenate(ctxs, axis=-1).astype(jnp.bfloat16)
-        ctx = ctx * mask_ref[...].astype(jnp.bfloat16)
-        out = jnp.dot(ctx, wproj_ref[...],
-                      preferred_element_type=jnp.float32) \
-            + bproj_ref[...].astype(jnp.float32)
-        o_ref[g] = out.astype(o_ref.dtype)
+    ctx = jnp.concatenate(
+        [jnp.concatenate(ctxs[g * heads:(g + 1) * heads], axis=-1)
+         for g in range(group)], axis=0).astype(jnp.bfloat16)
+    ctx = ctx * mask_ref[...].astype(jnp.bfloat16)      # [g*N, d]
+    out = jnp.dot(ctx, wproj_ref[...],
+                  preferred_element_type=jnp.float32) \
+        + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = out.reshape(group, np_, -1).astype(o_ref.dtype)
 
 
 def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
@@ -483,14 +492,14 @@ def _layer_bwd_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, mask_ref, do_ref,
         dmask_ref[...] += jnp.sum(t * ctx, axis=0, keepdims=True)
 
 
-def _layer_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
-    """Batch group for the fused sublayer backward, or None when the f32
-    weight-grad accumulators + weights + block DMA don't fit the ~13M VMEM
-    budget (DeiT-Base D=768 overflows -> composed fallback)."""
-    weights = 4 * d * d * 2                 # wqkv + wproj, bf16, resident
-    accums = 4 * d * d * 4                  # dwqkv + dwproj, f32, resident
-    scratch = (np_ * 3 * d * 2 * 2          # qkv + dqkv, bf16
-               + np_ * d * 10               # t (f32) + dctx (bf16) + ctx (f32)
+def _layer_bwd_group(b: int, d: int, dg: int, np_: int) -> Optional[int]:
+    """Batch group for the fused sublayer backward over a head group of
+    width ``dg`` (== d when unsplit), or None when the f32 weight-grad
+    accumulators + weights + block DMA don't fit the ~13M VMEM budget."""
+    weights = 4 * d * dg * 2                # wqkv_g + wproj_g, bf16, resident
+    accums = 4 * d * dg * 4                 # dwqkv_g + dwproj_g, f32, resident
+    scratch = (np_ * 3 * dg * 2 * 2         # qkv + dqkv, bf16
+               + np_ * dg * 10              # t (f32) + dctx (bf16) + ctx (f32)
                + 3 * np_ * np_ * 4)         # logits/probs/dp, f32
     for g in (4, 2, 1):
         if b % g:
@@ -501,9 +510,24 @@ def _layer_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
     return None
 
 
+def _head_group_split(b: int, d: int, num_heads: int, np_: int):
+    """Smallest head-group count whose per-group backward fits VMEM.
+    Returns (n_groups, batch_group) or (None, None) -> composed fallback."""
+    for ng in (1, 2, 4):
+        if num_heads % ng:
+            continue
+        if ng > 1 and (d // ng) % 128:
+            continue                 # split groups stay lane-aligned
+        g = _layer_bwd_group(b, d, d // ng, np_)
+        if g is not None:
+            return ng, g
+    return None, None
+
+
 def _call_layer_bwd(x, wqkv, bqkv, wproj, mask, do, scale, n_valid,
                     num_heads, g, interpret=False):
-    b, np_, d = x.shape
+    b, np_, d = x.shape                # model width
+    dg = wqkv.shape[1] // 3            # head-group width (== d unsplit)
     mspace = pl.ANY if interpret else pltpu.VMEM
     xspec = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
                          memory_space=mspace)
@@ -519,18 +543,18 @@ def _call_layer_bwd(x, wqkv, bqkv, wproj, mask, do, scale, n_valid,
     # parallel here
     return pl.pallas_call(
         functools.partial(_layer_bwd_kernel, scale=scale, n_valid=n_valid,
-                          heads=num_heads, group=g, d=d),
+                          heads=num_heads, group=g, d=dg),
         grid=(b // g,),
-        in_specs=[xspec, cspec((d, 3 * d)), cspec((3 * d,)),
-                  cspec((d, d)), cspec((d,)), xspec],
-        out_specs=(xspec, cspec((d, 3 * d)), cspec((1, 3 * d)),
-                   cspec((d, d)), cspec((1, d)), cspec((1, d))),
+        in_specs=[xspec, cspec((d, 3 * dg)), cspec((3 * dg,)),
+                  cspec((dg, d)), cspec((dg,)), xspec],
+        out_specs=(xspec, cspec((d, 3 * dg)), cspec((1, 3 * dg)),
+                   cspec((dg, d)), cspec((1, d)), cspec((1, dg))),
         out_shape=(jax.ShapeDtypeStruct((b, np_, d), x.dtype),
-                   jax.ShapeDtypeStruct((d, 3 * d), f32),
-                   jax.ShapeDtypeStruct((1, 3 * d), f32),
-                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * dg), f32),
+                   jax.ShapeDtypeStruct((1, 3 * dg), f32),
+                   jax.ShapeDtypeStruct((dg, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32)),
+                   jax.ShapeDtypeStruct((1, dg), f32)),
         interpret=interpret,
     )(x, wqkv, bqkv, wproj, mask, do)
 
@@ -550,8 +574,8 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     assert wqkv.shape[1] == 3 * d, (
         "fused-layer backward supports square model/attention widths only")
     dh = d // num_heads
-    g = _layer_bwd_group(b, d, np_)
-    if g is not None:
+    ng, g = _head_group_split(b, d, num_heads, np_)
+    if ng == 1:
         # whole-sublayer backward in one Pallas program: qkv + softmax
         # recomputed in VMEM, weight grads accumulated across the grid —
         # no [B,N,3D] relayouts or pad copies touch HBM at all
@@ -561,6 +585,42 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
         return (dx, dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
                 dwproj.astype(wproj.dtype), dbproj[0].astype(bproj.dtype),
                 dmask[0].astype(mask.dtype))
+    if ng is not None:
+        # wide models (DeiT-Base): the sublayer backward decomposes
+        # exactly by head group — dwqkv columns, dwproj rows, the dctx
+        # slice and the qkv recompute all partition by head — so run the
+        # same kernel per group (d -> d/ng) and let XLA sum the partial
+        # dx.  Costs ng-1 extra reads of x/dout vs the unsplit kernel;
+        # still far below the composed path's relayout traffic.
+        dg = d // ng
+        parts = []
+        for i in range(ng):
+            lo, hi = i * dg, (i + 1) * dg
+            wq_g = jnp.concatenate(
+                [wqkv[:, lo:hi], wqkv[:, d + lo:d + hi],
+                 wqkv[:, 2 * d + lo:2 * d + hi]], axis=1)
+            bq_g = jnp.concatenate(
+                [bqkv[lo:hi], bqkv[d + lo:d + hi],
+                 bqkv[2 * d + lo:2 * d + hi]])
+            parts.append(_call_layer_bwd(
+                x, wq_g, bq_g, wproj[lo:hi, :], mask[lo:hi], dout,
+                scale, n_valid, num_heads // ng, g, interpret))
+        dx = parts[0][0]
+        for p in parts[1:]:
+            dx = dx + p[0]
+        dwqkv = jnp.concatenate(
+            [p[1][:, :dg] for p in parts]
+            + [p[1][:, dg:2 * dg] for p in parts]
+            + [p[1][:, 2 * dg:] for p in parts], axis=1)
+        dbqkv = jnp.concatenate(
+            [p[2][0, :dg] for p in parts]
+            + [p[2][0, dg:2 * dg] for p in parts]
+            + [p[2][0, 2 * dg:] for p in parts])
+        dwproj = jnp.concatenate([p[3] for p in parts], axis=0)
+        dmask = jnp.concatenate([p[5][0] for p in parts])
+        return (dx.astype(x.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
+                parts[0][4][0].astype(bproj.dtype), dmask.astype(mask.dtype))
     # composed fallback (wide models whose f32 weight-grad accumulators
     # don't fit VMEM): recompute qkv with one XLA matmul; the attention
     # forward is NOT re-run — the combined kernel below recomputes the
