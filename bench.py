@@ -48,29 +48,46 @@ def bench_model(config_name, batch, steps, *, on_tpu):
     params = model.init_params(key, cfg)
     teacher = model.init_params(jax.random.PRNGKey(1), cfg)
     state = create_train_state(params, thp, init_compression_state(cfg, hp))
-    step = build_stage1_step(cfg, table, hp, thp, warmup=False)
+    # step bundling: scan `bundle` steps inside ONE program — per-launch
+    # dispatch latency through remote/relayed TPU attachments is serial
+    # and was measured anywhere from ~2 to ~15 ms depending on service
+    # state, enough to distort a ~170 ms step by double-digit percent
+    bundle = 5 if on_tpu else 1
+    step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                             bundle=bundle)
 
     x = jax.random.normal(key, (batch, cfg.img_size, cfg.img_size, 3),
                           jnp.float32)
-    y = jnp.zeros((batch,), jnp.int32)
+    if bundle > 1:
+        x = jnp.tile(x[None], (bundle, 1, 1, 1, 1))
+        y = jnp.zeros((bundle, batch), jnp.int32)
+    else:
+        y = jnp.zeros((batch,), jnp.int32)
+
+    if bundle > 1:
+        args = (x, y, jnp.full((bundle,), 5.0))
+    else:
+        args = (x, y)
 
     # warmup/compile; device_get (not block_until_ready) — only a D2H fetch
     # reliably drains the pipeline on remote-execution platforms
-    state, m = step(state, teacher, x, y, key, jnp.asarray(5.0))
-    float(jax.device_get(m["loss"]))
+    if bundle > 1:
+        state, m = step(state, teacher, *args, key)
+    else:
+        state, m = step(state, teacher, *args, key, jnp.asarray(5.0))
+    float(jax.device_get(m["loss"].ravel()[-1]))
 
-    # drain every few steps: mirrors real training (host reads metrics
-    # periodically) and avoids pathological deep async dispatch queues on
-    # relayed platforms
-    drain_every = 5
+    # drain each launch: metrics fetch mirrors real training cadence
     t0 = time.perf_counter()
-    for i in range(steps):
+    for i in range(steps // bundle):
         key, sub = jax.random.split(key)
-        state, m = step(state, teacher, x, y, sub, jnp.asarray(5.0))
-        if (i + 1) % drain_every == 0:
-            float(jax.device_get(m["loss"]))
-    float(jax.device_get(m["loss"]))
+        if bundle > 1:
+            state, m = step(state, teacher, *args, sub)
+        else:
+            state, m = step(state, teacher, *args, sub, jnp.asarray(5.0))
+        float(jax.device_get(m["loss"].ravel()[-1]))
     dt = time.perf_counter() - t0
+    steps = (steps // bundle) * bundle
 
     img_per_sec = batch * steps / dt
     fwd_flops = float(table.dense_flops)           # FLOPs per image, fwd

@@ -275,3 +275,60 @@ def test_flops2_arch_update_path():
     assert np.isfinite(first) and 0 < first <= 1.0 + 1e-6
     # under dual pressure the W1/W3 cost must fall toward the 0.5 budget
     assert float(metrics["resource"]) < first
+
+
+def test_bundled_step_matches_separate_steps():
+    """build_stage1_step(bundle=k) scans k batches in ONE program (launch-
+    latency amortization); the result must equal k separate step calls
+    with the same folded keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvc_tpu.compress.minimax import init_compression_state
+    from uvc_tpu.compress.resource import build_macs_table
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+    from uvc_tpu.train.state import TrainHParams, create_train_state
+    from uvc_tpu.train.step import build_stage1_step
+
+    cfg = get_config("testing")
+    hp = MinimaxHParams(gating_interval=2, enable_patch_gating=0)
+    thp = TrainHParams(num_classes=cfg.num_classes, t_total=100,
+                       warmup_steps=2, mixup=0.8, cutmix=1.0)
+    table = build_macs_table(cfg)
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(key, cfg)
+    teacher = vit.init_params(jax.random.PRNGKey(1), cfg)
+    k = 3
+    xs = jax.random.normal(jax.random.PRNGKey(2),
+                           (k, 4, cfg.img_size, cfg.img_size, 3))
+    ys = jax.random.randint(jax.random.PRNGKey(3), (k, 4), 0,
+                            cfg.num_classes)
+    base = jax.random.PRNGKey(7)
+
+    sep = build_stage1_step(cfg, table, hp, thp, warmup=False, donate=False)
+    st1 = create_train_state(jax.tree.map(jnp.copy, params), thp,
+                             init_compression_state(cfg, hp))
+    losses = []
+    for i in range(k):
+        st1, m = sep(st1, teacher, xs[i], ys[i],
+                     jax.random.fold_in(base, i), jnp.asarray(5.0))
+        losses.append(float(m["loss"]))
+
+    bun = build_stage1_step(cfg, table, hp, thp, warmup=False, donate=False,
+                            bundle=k)
+    st2 = create_train_state(jax.tree.map(jnp.copy, params), thp,
+                             init_compression_state(cfg, hp))
+    st2, ms = bun(st2, teacher, xs, ys, jnp.full((k,), 5.0), base)
+
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st1.cstate.s),
+                               np.asarray(st2.cstate.s), rtol=1e-5,
+                               atol=1e-5)
+    assert int(st2.step) == k

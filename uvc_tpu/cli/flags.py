@@ -97,6 +97,11 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    help="save stage-1 checkpoints with the orbax manager "
                         "(async-capable, keeps latest 3) instead of "
                         "msgpack files")
+    p.add_argument("--steps_per_launch", default=1, type=int,
+                   help="scan k train steps inside one jitted program "
+                        "(amortizes per-launch dispatch latency, useful on "
+                        "remote/relayed TPU attachments); single-device, "
+                        "no grad-accum only")
 
 
 def add_uvc_flags(p: argparse.ArgumentParser) -> None:

@@ -125,7 +125,9 @@ def main(argv=None):
                         output_dir=args.output_dir, name=args.name,
                         log_interval=args.log_interval,
                         resume=args.resume, mesh=mesh, mp=args.mp,
-                        use_orbax=bool(args.use_orbax), logger=logger)
+                        use_orbax=bool(args.use_orbax),
+                        steps_per_launch=args.steps_per_launch,
+                        logger=logger)
 
     # inline stage-2 (reference: joint_train.py:1032-1033)
     from uvc_tpu.train.stage2 import run_stage2
@@ -136,7 +138,8 @@ def main(argv=None):
                test_loader=test_loader, seed=args.seed,
                output_dir=args.output_dir, name=args.name + "_post",
                eval_every=args.eval_every, mesh=mesh, mp=args.mp,
-               world_batch=args.train_batch_size, logger=logger)
+               world_batch=args.train_batch_size,
+               steps_per_launch=args.steps_per_launch, logger=logger)
 
 
 if __name__ == "__main__":

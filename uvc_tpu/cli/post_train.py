@@ -89,7 +89,8 @@ def main(argv=None):
                test_loader=test_loader, seed=args.seed,
                output_dir=args.output_dir, name=args.name,
                eval_every=args.eval_every, mesh=mesh, mp=args.mp,
-               world_batch=args.train_batch_size)
+               world_batch=args.train_batch_size,
+               steps_per_launch=args.steps_per_launch)
 
 
 if __name__ == "__main__":

@@ -111,20 +111,32 @@ def apply_performer(p: dict, x: jax.Array, *, eps: float = 1e-5,
     w = jax.lax.stop_gradient(p["prm_w"]).astype(jnp.float32)
 
     def prm_exp(t):
-        t = t.astype(jnp.float32)
-        xd = jnp.sum(t * t, axis=-1, keepdims=True) / 2.0
-        wtx = jnp.einsum("bti,mi->btm", t, w)
-        return jnp.exp(wtx - xd) / math.sqrt(m)
+        # exp in f32 for range safety, but the [B, N, m] feature map is
+        # materialized in the compute dtype: at stage-1 shape (N=3136)
+        # the f32 version cost ~200 MB of HBM per map, and this chain is
+        # bandwidth-bound (the reference trains under torch autocast,
+        # which runs these matmuls in fp16 anyway)
+        t32 = t.astype(jnp.float32)
+        xd = jnp.sum(t32 * t32, axis=-1, keepdims=True) / 2.0
+        wtx = jnp.einsum("bti,mi->btm", t32, w,
+                         preferred_element_type=jnp.float32)
+        return (jnp.exp(wtx - xd) / math.sqrt(m)).astype(dtype)
 
     xn = _layer_norm(x, p["norm1"]["scale"], p["norm1"]["bias"], 1e-5)
     kqv = (xn @ p["kqv"]["kernel"].astype(dtype)
            + p["kqv"]["bias"].astype(dtype))
     k, q, v = jnp.split(kqv, 3, axis=-1)
     kp, qp = prm_exp(k), prm_exp(q)
-    d = jnp.einsum("bti,bi->bt", qp, kp.sum(axis=1))[..., None]
-    kptv = jnp.einsum("bin,bim->bnm", v.astype(jnp.float32), kp)
-    y = jnp.einsum("bti,bni->btn", qp, kptv) / (d + 1e-8)
-    y = y.astype(dtype)
+    d = jnp.einsum("bti,bi->bt", qp,
+                   kp.astype(jnp.float32).sum(axis=1).astype(dtype),
+                   preferred_element_type=jnp.float32)[..., None]
+    kptv = jnp.einsum("bin,bim->bnm", v, kp,
+                      preferred_element_type=jnp.float32)
+    # the divide + downcast fuse into the einsum epilogue: only the bf16
+    # y ever reaches HBM
+    y = (jnp.einsum("bti,bni->btn", qp, kptv.astype(dtype),
+                    preferred_element_type=jnp.float32)
+         / (d + 1e-8)).astype(dtype)
     attn_out = v + (y @ p["proj"]["kernel"].astype(dtype)
                     + p["proj"]["bias"].astype(dtype))
     h = _layer_norm(attn_out, p["norm2"]["scale"], p["norm2"]["bias"], 1e-5)

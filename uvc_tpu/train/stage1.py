@@ -106,7 +106,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                name: str = "debug", log_interval: int = 2000,
                eval_each_epoch: bool = True, save_checkpoints: bool = True,
                resume: Optional[str] = None, mesh=None, mp: int = 1,
-               use_orbax: bool = False,
+               use_orbax: bool = False, steps_per_launch: int = 1,
                logger: Optional[MetricLogger] = None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
@@ -191,6 +191,19 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     t_total = (steps_per_epoch // gas) * thp.num_epochs
     warm_step = build_stage1_step(cfg, table, hp, thp, warmup=True)
     uvc_step = build_stage1_step(cfg, table, hp, thp, warmup=False)
+    # step bundling (k steps scanned in ONE program — amortizes the serial
+    # per-launch dispatch latency, measured 2-15 ms through relayed TPU
+    # attachments): single-device + no-accumulation path only (the mesh
+    # path shards batch axis 0; bundled inputs are [k, B, ...])
+    spl = max(1, steps_per_launch)
+    if spl > 1 and (mesh is not None or gas > 1):
+        logger.info("steps_per_launch ignored (mesh or grad-accum active)")
+        spl = 1
+    if spl > 1:
+        warm_bundle = build_stage1_step(cfg, table, hp, thp, warmup=True,
+                                        bundle=spl)
+        uvc_bundle = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                       bundle=spl)
     if gas > 1:
         warm_micro = build_stage1_step(cfg, table, hp, thp, warmup=True,
                                        micro=True)
@@ -244,8 +257,62 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             state = state.replace(cstate=cstate)
 
         t0 = time.time()
+        buf = []
         for bi, (x, y) in enumerate(
                 device_prefetch(iter(train_loader), put=prefetch_put)):
+            if spl > 1:
+                # step bundling: collect spl batches, run them as ONE
+                # program (lax.scan inside the jitted step); tau is
+                # precomputed per sub-step so the anneal stays exact
+                tau = get_tau(10.0, 0.1, global_step + len(buf), t_total) \
+                    if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)
+                buf.append((normalize_on_device(x), jnp.asarray(y),
+                            jnp.asarray(tau, jnp.float32)))
+                if len(buf) < spl and bi != steps_per_epoch - 1:
+                    continue
+                adv = len(buf)
+                if adv == spl:
+                    key, sub = jax.random.split(key)
+                    bundle_fn = warm_bundle if warmup else uvc_bundle
+                    state, ms = bundle_fn(
+                        state, teacher_params,
+                        jnp.stack([t[0] for t in buf]),
+                        jnp.stack([t[1] for t in buf]),
+                        jnp.stack([t[2] for t in buf]), sub)
+                    for j in range(adv):
+                        gs = global_step + j + 1
+                        if gs % 50 == 0:
+                            losses.update(float(ms["loss"][j]))
+                            logger.log_scalars(gs, {
+                                "train/loss": ms["loss"][j],
+                                "train/lr": ms["lr"][j],
+                                "resource": ms["resource"][j],
+                            })
+                    global_step += adv
+                    metrics = jax.tree.map(lambda a: a[-1], ms)
+                else:
+                    # epoch-tail remainder: run singly (the k=1 program)
+                    for xb2, y2, tau2 in buf:
+                        key, sub = jax.random.split(key)
+                        state, metrics = step_fn(state, teacher_params,
+                                                 xb2, y2, sub, tau2)
+                        global_step += 1
+                        if global_step % 50 == 0:
+                            losses.update(float(metrics["loss"]))
+                            logger.log_scalars(global_step, {
+                                "train/loss": metrics["loss"],
+                                "train/lr": metrics["lr"],
+                                "resource": metrics["resource"],
+                            })
+                buf = []
+                if not warmup and (global_step // log_interval
+                                   != (global_step - adv) // log_interval):
+                    logger.log_series("s", global_step, state.cstate.s)
+                    logger.log_series("r", global_step, state.cstate.r)
+                    if hp.enable_block_gating:
+                        logger.log_series("gating", global_step,
+                                          state.params["block_gating"])
+                continue
             key, sub = jax.random.split(key)
             tau = get_tau(10.0, 0.1, global_step, t_total) \
                 if hp.enable_patch_gating == 2 else jnp.asarray(-1.0)

@@ -41,6 +41,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                name: str = "post", eval_every: int = 1000,
                world_batch: Optional[int] = None,
                save_checkpoints: bool = True, mesh=None, mp: int = 1,
+               steps_per_launch: int = 1,
                logger: Optional[MetricLogger] = None) -> Stage2Result:
     logger = logger or MetricLogger(output_dir, name)
     if teacher_params is None:
@@ -74,6 +75,14 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     step_fn = build_stage2_step(cfg, hp, thp)
     micro_fn = build_stage2_step(cfg, hp, thp, micro=True) if gas > 1 \
         else None
+    # step bundling (see stage1.py): single-device, no-accum path only
+    spl = max(1, steps_per_launch)
+    if spl > 1 and (mesh is not None or gas > 1):
+        logger.info("steps_per_launch ignored (mesh or grad-accum active)")
+        spl = 1
+    bundle_fn = build_stage2_step(cfg, hp, thp, bundle=spl) if spl > 1 \
+        else None
+    steps_per_epoch = len(train_loader)
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 
     key = jax.random.PRNGKey(seed)
@@ -86,8 +95,56 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     for epoch in range(thp.num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
+        buf = []
         for bi, (x, y) in enumerate(
                 device_prefetch(iter(train_loader), put=prefetch_put)):
+            if spl > 1:
+                buf.append((normalize_on_device(x), jnp.asarray(y)))
+                if len(buf) < spl and bi != steps_per_epoch - 1:
+                    continue
+                adv = len(buf)
+                if adv == spl:
+                    key, sub = jax.random.split(key)
+                    state, ms = bundle_fn(
+                        state, teacher_params, masks,
+                        jnp.stack([t[0] for t in buf]),
+                        jnp.stack([t[1] for t in buf]), sub)
+                    for j in range(adv):
+                        gs = global_step + j + 1
+                        if gs % 50 == 0:
+                            losses.update(float(ms["loss"][j]))
+                            logger.log_scalars(gs, {
+                                "train/loss": ms["loss"][j],
+                                "train/lr": ms["lr"][j]})
+                    global_step += adv
+                    metrics = jax.tree.map(lambda a: a[-1], ms)
+                else:
+                    for xb2, y2 in buf:
+                        key, sub = jax.random.split(key)
+                        state, metrics = step_fn(state, teacher_params,
+                                                 masks, xb2, y2, sub)
+                        global_step += 1
+                        if global_step % 50 == 0:
+                            losses.update(float(metrics["loss"]))
+                            logger.log_scalars(global_step, {
+                                "train/loss": metrics["loss"],
+                                "train/lr": metrics["lr"]})
+                buf = []
+                if (eval_every and test_loader is not None
+                        and global_step // eval_every
+                        != (global_step - adv) // eval_every):
+                    acc = run_validation(eval_step, state.params, masks,
+                                         test_loader, logger, global_step,
+                                         shard_fn=(None if mesh is None
+                                                   else shard_fn))
+                    if acc > best_acc:
+                        best_acc = acc
+                        if save_checkpoints:
+                            save_checkpoint(
+                                f"{logger.dir}/{cfg.name}_best.ckpt",
+                                {"params": state.params, "masks": masks,
+                                 "step": global_step, "acc": acc})
+                continue
             key, sub = jax.random.split(key)
             xb = normalize_on_device(x)
             if gas > 1 and (bi + 1) % gas != 0:

@@ -60,9 +60,41 @@ def _teacher_logits(teacher_params, x, cfg: ViTConfig, dtype):
     return model.eval_logits(out, cfg)
 
 
+def _bundle_step(step, bundle: int, donate: bool, *, n_static: int,
+                 n_batch: int):
+    """Wrap a per-batch ``step(state, teacher, *static, *batch, key,
+    *tail)`` into one jitted program that scans ``bundle`` batches
+    (leading axis k on the batch args), folding the key per sub-step.
+
+    Rationale: every program launch pays host->device dispatch latency
+    serially (on relayed/remote TPU attachments this floor was measured at
+    2-15 ms depending on service state — larger than a whole DeiT-Small
+    step's pure compute share).  Scanning k steps inside one program
+    amortizes it k-fold; metrics come back stacked [k]."""
+
+    def bundled(state, teacher_params, *rest):
+        static = rest[:n_static]
+        batches = rest[n_static:n_static + n_batch]
+        key = rest[n_static + n_batch]
+        tail = rest[n_static + n_batch + 1:]
+
+        def body(st, inp):
+            *batch, i = inp
+            st2, m = step(st, teacher_params, *static, *batch,
+                          jax.random.fold_in(key, i), *tail)
+            return st2, m
+
+        state, ms = jax.lax.scan(
+            body, state, (*batches, jnp.arange(bundle)))
+        return state, ms
+
+    return jax.jit(bundled, donate_argnums=(0,) if donate else ())
+
+
 def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
                       thp: TrainHParams, *, warmup: bool,
-                      donate: bool = True, micro: bool = False):
+                      donate: bool = True, micro: bool = False,
+                      bundle: int = 1):
     """Returns jitted ``step(state, teacher_params, x, labels, key, tau)``.
 
     ``warmup`` selects the phase (epochs <= warmup_epochs force
@@ -189,11 +221,24 @@ def build_stage1_step(cfg: ViTConfig, table: MacsTable, hp: MinimaxHParams,
                         if accum > 1 else state.grad_accum))
         return new_state, metrics
 
+    if bundle > 1:
+        assert not micro and thp.accum_steps == 1, (
+            "step bundling does not compose with gradient accumulation")
+
+        def step_taulast(st, teacher_params, x, labels, tau, key):
+            return step(st, teacher_params, x, labels, key, tau)
+
+        # bundled signature: (state, teacher, xs[k,B,...], labels[k,B],
+        # taus[k], key) -> (state, stacked metrics [k]); tau is scanned so
+        # the per-step anneal stays exact under bundling
+        return _bundle_step(step_taulast, bundle, donate, n_static=0,
+                            n_batch=3)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
 def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
-                      *, donate: bool = True, micro: bool = False):
+                      *, donate: bool = True, micro: bool = False,
+                      bundle: int = 1):
     """Mask-frozen distillation fine-tune step (post_train.py:270-403).
 
     Masks are enforced by activation masking every step (equivalent to the
@@ -265,6 +310,12 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
                         if accum > 1 else state.grad_accum))
         return new_state, metrics
 
+    if bundle > 1:
+        assert not micro and thp.accum_steps == 1, (
+            "step bundling does not compose with gradient accumulation")
+        # bundled signature: (state, teacher, masks, xs[k,B,...],
+        # labels[k,B], key) -> (state, stacked metrics [k])
+        return _bundle_step(step, bundle, donate, n_static=1, n_batch=2)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
