@@ -103,11 +103,28 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* pixels, int* w,
 }
 
 // ---------------------------------------------------------------------------
-// PIL-style antialiased crop-resample (separable triangle filter).
-// PIL/torchvision BILINEAR widens the filter support by the downscale
-// factor (antialiasing); matching it keeps converted-checkpoint eval
-// accuracy aligned with the reference input pipeline.
+// PIL-style antialiased crop-resample (separable filters).
+// PIL/torchvision widens the filter support by the downscale factor
+// (antialiasing); matching it keeps converted-checkpoint eval accuracy
+// aligned with the reference input pipeline.  interp 0 = BILINEAR
+// (triangle, support 1), 1 = BICUBIC (Catmull-Rom a=-0.5, support 2 —
+// the DeiT recipe's training default, Baseline_pruning/datasets.py via
+// timm create_transform interpolation='bicubic').
 // ---------------------------------------------------------------------------
+
+double triangle_filter(double x) {
+  x = std::abs(x);
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+double bicubic_filter(double x) {
+  // PIL _imaging.c bicubic_filter, a = -0.5
+  const double a = -0.5;
+  x = std::abs(x);
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
 
 struct FilterTable {
   std::vector<float> weights;  // [out, kmax]
@@ -116,9 +133,12 @@ struct FilterTable {
 };
 
 FilterTable build_filter(double origin, double span, int in_size,
-                         int out_size) {
+                         int out_size, int interp) {
+  const double base_support = interp == 1 ? 2.0 : 1.0;
+  double (*filt)(double) = interp == 1 ? bicubic_filter : triangle_filter;
   const double scale = span / out_size;
-  const double support = std::max(1.0, scale);
+  const double ss = std::max(1.0, scale);
+  const double support = base_support * ss;
   const int kmax = (int)std::ceil(support * 2.0) + 2;
   FilterTable t;
   t.kmax = kmax;
@@ -138,12 +158,12 @@ FilterTable build_filter(double origin, double span, int in_size,
     double total = 0.0;
     const int n = std::min(hi - lo + 1, kmax);
     for (int k = 0; k < n; ++k) {
-      const double x = (lo + k + 0.5 - center) / std::max(1.0, scale);
-      const double w = std::max(0.0, 1.0 - std::abs(x));
+      const double x = (lo + k + 0.5 - center) / ss;
+      const double w = filt(x);
       t.weights[size_t(o) * kmax + k] = (float)w;
       total += w;
     }
-    if (total > 0)
+    if (total != 0)
       for (int k = 0; k < n; ++k)
         t.weights[size_t(o) * kmax + k] /= (float)total;
   }
@@ -151,9 +171,10 @@ FilterTable build_filter(double origin, double span, int in_size,
 }
 
 void resample(const uint8_t* src, int sw, int sh, double x0, double y0,
-              double cw, double ch, uint8_t* dst, int size, bool flip) {
-  const FilterTable fx = build_filter(x0, cw, sw, size);
-  const FilterTable fy = build_filter(y0, ch, sh, size);
+              double cw, double ch, uint8_t* dst, int size, bool flip,
+              int interp) {
+  const FilterTable fx = build_filter(x0, cw, sw, size, interp);
+  const FilterTable fy = build_filter(y0, ch, sh, size, interp);
   // horizontal pass over the rows the vertical pass will touch
   int row_lo = fy.starts[0];
   int row_hi = fy.starts[size - 1] + fy.kmax;
@@ -308,7 +329,7 @@ class Pool {
 };
 
 void load_one(const char* path, uint64_t seed, int size, bool train,
-              int resize_to, uint8_t* out, int32_t* status) {
+              int resize_to, int interp, uint8_t* out, int32_t* status) {
   std::vector<uint8_t> px;
   int w = 0, h = 0;
   if (!decode_jpeg(path, &px, &w, &h) || w < 1 || h < 1) {
@@ -320,13 +341,13 @@ void load_one(const char* path, uint64_t seed, int size, bool train,
     double x0, y0, cw, ch;
     sample_rrc(rng, w, h, &x0, &y0, &cw, &ch);
     const bool flip = rng.uniform() < 0.5;
-    resample(px.data(), w, h, x0, y0, cw, ch, out, size, flip);
+    resample(px.data(), w, h, x0, y0, cw, ch, out, size, flip, interp);
   } else {
     // resize shorter side to resize_to, center crop size
     const double scale = double(resize_to) / std::min(w, h);
     const double cw = size / scale, ch = size / scale;
     const double x0 = (w - cw) / 2.0, y0 = (h - ch) / 2.0;
-    resample(px.data(), w, h, x0, y0, cw, ch, out, size, false);
+    resample(px.data(), w, h, x0, y0, cw, ch, out, size, false, interp);
   }
   *status = 0;
 }
@@ -342,14 +363,15 @@ void* uvc_loader_create(int num_threads) {
 void uvc_loader_destroy(void* pool) { delete static_cast<Pool*>(pool); }
 
 // paths: n C strings; seeds: n uint64; out: n * size*size*3 uint8;
-// status: n int32 (0 = ok, 1 = decode failed -> caller must fill that slot)
+// status: n int32 (0 = ok, 1 = decode failed -> caller must fill that
+// slot); interp: 0 = bilinear, 1 = bicubic (PIL-matched, antialiased)
 void uvc_load_batch(void* pool, const char** paths, int n, int size,
-                    int train, int resize_to, const uint64_t* seeds,
-                    uint8_t* out, int32_t* status) {
+                    int train, int resize_to, int interp,
+                    const uint64_t* seeds, uint8_t* out, int32_t* status) {
   const size_t stride = size_t(size) * size * 3;
   static_cast<Pool*>(pool)->parallel_for(n, [&](int i) {
     load_one(paths[i], seeds ? seeds[i] : 0, size, train != 0, resize_to,
-             out + size_t(i) * stride, status + i);
+             interp, out + size_t(i) * stride, status + i);
   });
 }
 

@@ -100,3 +100,28 @@ def test_concurrent_load_batch_is_safe(jpegs):
     np.testing.assert_array_equal(results["t1"], want_eval)
     np.testing.assert_array_equal(results["t2"], want_train)
     np.testing.assert_array_equal(results["t3"], want_eval)
+
+
+def test_bicubic_eval_matches_pil(jpegs):
+    """The native bicubic filter (PIL a=-0.5 kernel, antialiased) must
+    track PIL's BICUBIC resize — the DeiT recipe's default train/eval
+    interpolation now runs on the C++ fast path."""
+    from uvc_tpu.data.pipeline import load_eval_image
+    paths, _ = jpegs
+    out = native_loader.load_batch(paths, 96, train=False, resize_to=112,
+                                   interpolation="bicubic")
+    assert out is not None
+    bil = native_loader.load_batch(paths, 96, train=False, resize_to=112,
+                                   interpolation="bilinear")
+    assert not np.array_equal(out, bil), "bicubic must differ from bilinear"
+    for i, p in enumerate(paths):
+        ref = load_eval_image(p, 96, resize_to=112,
+                              interpolation="bicubic")
+        d = np.abs(ref.astype(int) - out[i].astype(int))
+        assert d.mean() < 3.0, d.mean()
+
+
+def test_unknown_interpolation_returns_none(jpegs):
+    paths, _ = jpegs
+    assert native_loader.load_batch(paths, 64, train=False,
+                                    interpolation="nearest") is None

@@ -46,7 +46,7 @@ def _load_library():
             lib.uvc_load_batch.argtypes = [
                 ctypes.c_void_p,
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32)]
@@ -72,15 +72,21 @@ def _get_pool(num_threads: int):
     return _pool
 
 
+_INTERP_CODES = {"bilinear": 0, "bicubic": 1}
+
+
 def load_batch(paths: Sequence[str], img_size: int, *, train: bool,
                seeds: Optional[np.ndarray] = None,
                resize_to: Optional[int] = None,
+               interpolation: str = "bilinear",
                num_threads: int = 16) -> Optional[np.ndarray]:
     """Decode + transform a batch; returns [N, S, S, 3] uint8 or None when
     the native library is unavailable.  Images the native decoder rejects
-    are loaded through the PIL fallback."""
+    are loaded through the PIL fallback.  interpolation: bilinear or
+    bicubic (both PIL-matched antialiased filters in C++); anything else
+    returns None -> caller uses the PIL path."""
     lib = _load_library()
-    if lib is None:
+    if lib is None or interpolation not in _INTERP_CODES:
         return None
     if resize_to is None:
         from uvc_tpu.data.pipeline import eval_resize_for
@@ -96,6 +102,7 @@ def load_batch(paths: Sequence[str], img_size: int, *, train: bool,
         *[p.encode() for p in paths])
     lib.uvc_load_batch(
         pool, c_paths, n, img_size, 1 if train else 0, resize_to,
+        _INTERP_CODES[interpolation],
         seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
@@ -110,10 +117,11 @@ def load_batch(paths: Sequence[str], img_size: int, *, train: bool,
                 if train:
                     out[i] = load_train_image(
                         paths[i], np.random.default_rng(int(seeds[i])),
-                        img_size)
+                        img_size, interpolation=interpolation)
                 else:
                     out[i] = load_eval_image(paths[i], img_size,
-                                             resize_to=resize_to)
+                                             resize_to=resize_to,
+                                             interpolation=interpolation)
             except Exception:
                 # truly unreadable file: zero-fill rather than kill the
                 # whole epoch (the reference would crash here)

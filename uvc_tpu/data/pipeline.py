@@ -117,16 +117,16 @@ def _random_resized_crop(img, rng: np.random.Generator, size: int,
     return _center_crop(img, size, size)
 
 
-def _center_crop(img, size: int, resize_to: Optional[int] = None):
-    from PIL import Image
+def _center_crop(img, size: int, resize_to: Optional[int] = None,
+                 interpolation: str = "bilinear"):
     if resize_to:
         w, h = img.size
         if w < h:
             img = img.resize((resize_to, int(h * resize_to / w)),
-                             Image.BILINEAR)
+                             _interp(interpolation))
         else:
             img = img.resize((int(w * resize_to / h), resize_to),
-                             Image.BILINEAR)
+                             _interp(interpolation))
     w, h = img.size
     x0 = (w - size) // 2
     y0 = (h - size) // 2
@@ -154,13 +154,15 @@ def eval_resize_for(size: int) -> int:
 
 
 def load_eval_image(path: str, size: int = 224,
-                    resize_to: int = None) -> np.ndarray:
+                    resize_to: int = None,
+                    interpolation: str = "bilinear") -> np.ndarray:
     from PIL import Image
     if resize_to is None:
         resize_to = eval_resize_for(size)
     with Image.open(path) as img:
         img = img.convert("RGB")
-        img = _center_crop(img, size, resize_to)
+        img = _center_crop(img, size, resize_to,
+                           interpolation=interpolation)
         return np.asarray(img, np.uint8)
 
 
@@ -279,8 +281,9 @@ class FolderLoader:
         # after crop+flip (timm transform order: RandAugment / color jitter,
         # see uvc_tpu/data/augment.py)
         self.aug = aug
-        # the C++ fast path implements bilinear only; requesting another
-        # interpolation (the DeiT recipe trains bicubic) selects the PIL path
+        # the C++ fast path implements PIL-matched bilinear AND bicubic
+        # (the DeiT recipe trains bicubic); other interpolations (nearest)
+        # select the PIL path
         self.interpolation = interpolation
         self.epoch = 0
 
@@ -333,8 +336,7 @@ class FolderLoader:
             from concurrent.futures import ThreadPoolExecutor
             from uvc_tpu.data import native_loader
             use_native = (native_loader.available()
-                          and (not self.train
-                               or self.interpolation == "bilinear"))
+                          and self.interpolation in ("bilinear", "bicubic"))
             base_rng = np.random.default_rng(
                 (self.seed + self.epoch) * 1000 + self.pid)
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -358,6 +360,7 @@ class FolderLoader:
                             [self.paths[i] for i in sel], self.img_size,
                             train=self.train,
                             seeds=seeds.astype(np.uint64),
+                            interpolation=self.interpolation,
                             num_threads=self.num_workers)
                         if x is None:
                             use_native = False
@@ -370,8 +373,9 @@ class FolderLoader:
                                     np.random.default_rng(int(s)),
                                     self.img_size,
                                     interpolation=self.interpolation)
-                            return load_eval_image(self.paths[i],
-                                                   self.img_size)
+                            return load_eval_image(
+                                self.paths[i], self.img_size,
+                                interpolation=self.interpolation)
 
                         x = np.stack(list(pool.map(one, zip(sel, seeds))))
                     if self.train and self.aug is not None:
