@@ -101,7 +101,8 @@ def main(argv=None):
     if args.repeated_aug and hasattr(train_loader, "repeated_aug"):
         train_loader.repeated_aug = True
     from uvc_tpu.data.augment import make_train_augment
-    aug = make_train_augment(args.aa, args.color_jitter)
+    aug = make_train_augment(args.aa, args.color_jitter,
+                             interpolation=args.train_interpolation)
     if aug is not None and hasattr(train_loader, "aug"):
         train_loader.aug = aug
     if hasattr(train_loader, "interpolation"):

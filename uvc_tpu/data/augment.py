@@ -41,26 +41,33 @@ def _enhance(img, kind: str, factor: float):
     }[kind](img).enhance(factor)
 
 
-def _shear(img, ax: str, v: float):
+def _resample(interpolation: str):
+    # timm passes the recipe's train interpolation into the aa params
+    # (DeiT: bicubic); PIL codes: 2 = BILINEAR, 3 = BICUBIC
+    return 3 if interpolation == "bicubic" else 2
+
+
+def _shear(img, ax: str, v: float, resample: int):
     from PIL import Image
     mat = (1, v, 0, 0, 1, 0) if ax == "x" else (1, 0, 0, v, 1, 0)
     return img.transform(img.size, Image.AFFINE, mat,
-                         resample=Image.BILINEAR, fillcolor=_FILL)
+                         resample=resample, fillcolor=_FILL)
 
 
-def _translate(img, ax: str, frac: float):
+def _translate(img, ax: str, frac: float, resample: int):
     from PIL import Image
     px = frac * (img.size[0] if ax == "x" else img.size[1])
     mat = (1, 0, px, 0, 1, 0) if ax == "x" else (1, 0, 0, 0, 1, px)
     return img.transform(img.size, Image.AFFINE, mat,
-                         resample=Image.BILINEAR, fillcolor=_FILL)
+                         resample=resample, fillcolor=_FILL)
 
 
 def _neg(rng, v):
     return -v if rng.random() < 0.5 else v
 
 
-def _apply_op(img, name: str, level: float, rng: np.random.Generator):
+def _apply_op(img, name: str, level: float, rng: np.random.Generator,
+              resample: int = 2):
     """One RandAugment op at the given (already noise-jittered) level.
     Increasing-transform argument mappings: timm auto_augment.py
     ``_RAND_INCREASING_TRANSFORMS`` + ``*_increasing_level_to_arg``."""
@@ -73,7 +80,7 @@ def _apply_op(img, name: str, level: float, rng: np.random.Generator):
     if name == "Invert":
         return ImageOps.invert(img)
     if name == "Rotate":
-        return img.rotate(_neg(rng, frac * 30.0), resample=2,
+        return img.rotate(_neg(rng, frac * 30.0), resample=resample,
                           fillcolor=_FILL)
     if name == "Posterize":
         bits = 4 - int(frac * 4)
@@ -89,13 +96,13 @@ def _apply_op(img, name: str, level: float, rng: np.random.Generator):
     if name in ("Color", "Contrast", "Brightness", "Sharpness"):
         return _enhance(img, name.lower(), 1.0 + _neg(rng, frac * 0.9))
     if name == "ShearX":
-        return _shear(img, "x", _neg(rng, frac * 0.3))
+        return _shear(img, "x", _neg(rng, frac * 0.3), resample)
     if name == "ShearY":
-        return _shear(img, "y", _neg(rng, frac * 0.3))
+        return _shear(img, "y", _neg(rng, frac * 0.3), resample)
     if name == "TranslateX":
-        return _translate(img, "x", _neg(rng, frac * 0.45))
+        return _translate(img, "x", _neg(rng, frac * 0.45), resample)
     if name == "TranslateY":
-        return _translate(img, "y", _neg(rng, frac * 0.45))
+        return _translate(img, "y", _neg(rng, frac * 0.45), resample)
     raise ValueError(name)
 
 
@@ -110,20 +117,24 @@ class RandAugment:
     [0, 10]."""
 
     def __init__(self, magnitude: float = 9.0, mstd: float = 0.5,
-                 num_ops: int = 2, prob: float = 0.5):
+                 num_ops: int = 2, prob: float = 0.5,
+                 interpolation: str = "bilinear"):
         self.magnitude = magnitude
         self.mstd = mstd
         self.num_ops = num_ops
         self.prob = prob
+        self.resample = _resample(interpolation)
 
     @classmethod
-    def from_string(cls, spec: str) -> "RandAugment":
+    def from_string(cls, spec: str,
+                    interpolation: str = "bilinear") -> "RandAugment":
         """Parse a timm auto-augment string, e.g. ``rand-m9-mstd0.5-inc1``
         (the ``inc`` flag is implicit: this implementation always uses the
         increasing transforms, timm's recommended set)."""
         if not spec.startswith("rand"):
             raise ValueError(f"unsupported auto-augment policy: {spec}")
-        kw = dict(magnitude=9.0, mstd=0.5, num_ops=2, prob=0.5)
+        kw = dict(magnitude=9.0, mstd=0.5, num_ops=2, prob=0.5,
+                  interpolation=interpolation)
         for part in spec.split("-")[1:]:
             if part.startswith("mstd"):
                 kw["mstd"] = float(part[4:])
@@ -148,7 +159,7 @@ class RandAugment:
             if self.mstd > 0:
                 level = rng.normal(self.magnitude, self.mstd)
             level = float(np.clip(level, 0.0, _LEVEL_DENOM))
-            img = _apply_op(img, name, level, rng)
+            img = _apply_op(img, name, level, rng, self.resample)
         return img
 
 
@@ -164,13 +175,15 @@ def color_jitter_image(img, rng: np.random.Generator, strength: float = 0.4):
 
 
 def make_train_augment(aa: Optional[str] = None,
-                       color_jitter: float = 0.0):
+                       color_jitter: float = 0.0,
+                       interpolation: str = "bilinear"):
     """Returns ``fn(uint8_hwc_array, np_rng) -> uint8_hwc_array`` or None.
 
     timm precedence: an auto-augment policy disables color jitter
     (Baseline_pruning passes both; timm create_transform keeps only aa).
     """
-    ra = RandAugment.from_string(aa) if aa and aa != "none" else None
+    ra = RandAugment.from_string(aa, interpolation) \
+        if aa and aa != "none" else None
     if ra is None and color_jitter <= 0:
         return None
 
