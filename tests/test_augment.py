@@ -163,3 +163,30 @@ def test_folder_loader_applies_aug(tmp_path):
                          interpolation="bicubic")
     xb, _ = next(iter(ld_bc))
     assert np.array_equal(xb[1], marker)
+
+
+def test_random_erasing_modes():
+    """timm remode parity: 'pixel' fills per-pixel noise, 'rand' one value
+    per channel per image, 'const' zeros — erased cells only."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((4, 16, 16, 3))
+    for mode in ("pixel", "rand", "const"):
+        out = augment.random_erasing(key, x, prob=1.0, mode=mode)
+        changed = np.asarray(out != x)
+        assert changed.any(), mode
+        if mode == "const":
+            assert float(np.abs(np.asarray(out)[changed]).max()) == 0.0
+        if mode == "rand":
+            # within one image+channel, every erased pixel has ONE value
+            o = np.asarray(out)
+            for b in range(4):
+                for c in range(3):
+                    vals = np.unique(o[b, :, :, c][changed[b, :, :, c]])
+                    assert len(vals) <= 1
+        if mode == "pixel":
+            o = np.asarray(out)
+            vals = np.unique(o[changed])
+            assert len(vals) > 10

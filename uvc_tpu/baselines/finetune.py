@@ -65,6 +65,7 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
                         ema_decay: float = 0.0,
                         drop_path_rate: float = 0.0,
                         re_prob: float = 0.0, re_count: int = 1,
+                        re_mode: str = "pixel",
                         donate: bool = True):
     """Jitted ``step(state, teacher_params, wmasks, x, labels, key, tau)``.
 
@@ -87,7 +88,8 @@ def build_baseline_step(cfg: ViTConfig, thp: TrainHParams, *,
         k_mix, k_tok, k_re = jax.random.split(key, 3)
         if re_prob > 0:
             from uvc_tpu.data.augment import random_erasing
-            x = random_erasing(k_re, x, prob=re_prob, count=re_count)
+            x = random_erasing(k_re, x, prob=re_prob, count=re_count,
+                               mode=re_mode)
         if thp.mixup > 0 or thp.cutmix > 0:
             x, targets = mixup_cutmix(
                 k_mix, x, labels, num_classes=thp.num_classes,
@@ -182,7 +184,8 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                  gmp: Optional[GMPSchedule] = None,
                  token_selection: bool = False, token_number: float = 0.7,
                  ema_decay: float = 0.0, drop_path_rate: float = 0.0,
-                 re_prob: float = 0.0, re_count: int = 1, seed: int = 0,
+                 re_prob: float = 0.0, re_count: int = 1,
+                 re_mode: str = "pixel", seed: int = 0,
                  output_dir: str = "output", name: str = "baseline",
                  resume: Optional[str] = None, start_epoch: int = 0,
                  save_checkpoints: bool = True, mesh=None, mp: int = 1,
@@ -252,7 +255,8 @@ def run_baseline(cfg: ViTConfig, thp: TrainHParams, *, train_loader,
                                   token_number=token_number,
                                   ema_decay=ema_decay,
                                   drop_path_rate=drop_path_rate,
-                                  re_prob=re_prob, re_count=re_count)
+                                  re_prob=re_prob, re_count=re_count,
+                                  re_mode=re_mode)
     eval_fn = build_baseline_eval_step(cfg, thp)
     t_total = len(train_loader) * thp.num_epochs
     metrics = None

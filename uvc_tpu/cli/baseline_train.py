@@ -56,13 +56,14 @@ def main(argv=None):
                    help="used only when --aa none (timm precedence)")
     p.add_argument("--train-interpolation", default="bicubic",
                    choices=["bilinear", "bicubic", "nearest"],
-                   help="train crop resize filter; non-bilinear selects "
-                        "the PIL decode path (the C++ loader is bilinear)")
+                   help="train crop resize filter; bilinear and bicubic "
+                        "run on the C++ fast path, nearest selects PIL")
     p.add_argument("--reprob", default=0.25, type=float,
                    help="random erasing probability (on-device, in-step)")
     p.add_argument("--remode", default="pixel", type=str,
-                   help="only 'pixel' (gaussian fill) is implemented; "
-                        "other modes fall back to it")
+                   choices=["pixel", "rand", "const"],
+                   help="random-erasing fill: per-pixel gaussian / one "
+                        "gaussian per channel / zeros (timm modes)")
     p.add_argument("--recount", default=1, type=int)
     p.add_argument("--drop_path", "--drop-path", default=0.1, type=float,
                    help="stochastic depth rate (main.py:56, :261-262)")
@@ -165,6 +166,7 @@ def main(argv=None):
         ema_decay=args.model_ema_decay if args.model_ema else 0.0,
         drop_path_rate=args.drop_path,
         re_prob=args.reprob, re_count=args.recount,
+        re_mode=args.remode,
         seed=args.seed, output_dir=args.output_dir, name=args.name,
         resume=args.resume, start_epoch=args.start_epoch,
         mesh=mesh, mp=args.mp, logger=logger)

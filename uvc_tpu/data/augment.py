@@ -198,10 +198,13 @@ def make_train_augment(aa: Optional[str] = None,
 
 
 def random_erasing(key, x, prob: float = 0.25, count: int = 1,
-                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3)):
-    """Device-side timm RandomErasing(mode='pixel'): per image, with
-    probability ``prob``, overwrite a random rectangle of the *normalized*
-    [B, H, W, C] batch with unit gaussian noise.
+                   scale=(0.02, 1 / 3), ratio=(0.3, 10 / 3),
+                   mode: str = "pixel"):
+    """Device-side timm RandomErasing: per image, with probability
+    ``prob``, overwrite a random rectangle of the *normalized*
+    [B, H, W, C] batch.  Fill by ``mode`` (timm random_erasing.py
+    _get_pixels): 'pixel' = per-pixel unit gaussian, 'rand' = one
+    gaussian draw per channel per image, 'const' = zeros.
 
     Static shapes: the rectangle is expressed as a boolean mask built from
     broadcasted index comparisons (no dynamic slicing), so the op fuses
@@ -231,7 +234,15 @@ def random_erasing(key, x, prob: float = 0.25, count: int = 1,
                   & (xx >= x0[:, None, None]) & (xx < (x0 + ew)[:, None, None]))
         do = jax.random.uniform(kp, (b,)) < prob
         mask = (inside & do[:, None, None])[..., None]          # [B,H,W,1]
-        noise = jax.random.normal(kn, x.shape, jnp.float32).astype(x.dtype)
+        if mode == "rand":
+            noise = jnp.broadcast_to(
+                jax.random.normal(kn, (b, 1, 1, c), jnp.float32),
+                x.shape).astype(x.dtype)
+        elif mode == "const":
+            noise = jnp.zeros_like(x)
+        else:                                   # 'pixel' (recipe default)
+            noise = jax.random.normal(kn, x.shape,
+                                      jnp.float32).astype(x.dtype)
         return jnp.where(mask, noise, x)
 
     for i in range(count):
