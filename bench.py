@@ -50,42 +50,47 @@ def bench_model(config_name, batch, steps, *, on_tpu):
     state = create_train_state(params, thp, init_compression_state(cfg, hp))
     # step bundling: scan `bundle` steps inside ONE program — per-launch
     # dispatch latency through remote/relayed TPU attachments is serial
-    # and was measured anywhere from ~2 to ~15 ms depending on service
-    # state, enough to distort a ~170 ms step by double-digit percent
-    bundle = 5 if on_tpu else 1
-    step = build_stage1_step(cfg, table, hp, thp, warmup=False,
-                             bundle=bundle)
+    # and was measured anywhere from ~2 to ~36 ms depending on service
+    # state, enough to distort a ~170 ms step by double-digit percent.
+    # The bench scan closes over ONE batch (throughput-only shortcut; the
+    # real drivers feed k distinct stacked batches via build_*_step's
+    # bundle= path, which this reuses unjitted inside the scan).
+    bundle = 10 if on_tpu else 1
+    raw_step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                 donate=False)
 
     x = jax.random.normal(key, (batch, cfg.img_size, cfg.img_size, 3),
                           jnp.float32)
-    if bundle > 1:
-        x = jnp.tile(x[None], (bundle, 1, 1, 1, 1))
-        y = jnp.zeros((bundle, batch), jnp.int32)
-    else:
-        y = jnp.zeros((batch,), jnp.int32)
+    y = jnp.zeros((batch,), jnp.int32)
 
     if bundle > 1:
-        args = (x, y, jnp.full((bundle,), 5.0))
+        def bundled(state, teacher, x, y, key):
+            def body(st, i):
+                st2, m = raw_step(st, teacher, x, y,
+                                  jax.random.fold_in(key, i),
+                                  jnp.asarray(5.0))
+                return st2, m["loss"]
+            return jax.lax.scan(body, state, jnp.arange(bundle))
+        step = jax.jit(bundled, donate_argnums=(0,))
     else:
-        args = (x, y)
+        step = raw_step
 
     # warmup/compile; device_get (not block_until_ready) — only a D2H fetch
     # reliably drains the pipeline on remote-execution platforms
-    if bundle > 1:
-        state, m = step(state, teacher, *args, key)
-    else:
-        state, m = step(state, teacher, *args, key, jnp.asarray(5.0))
-    float(jax.device_get(m["loss"].ravel()[-1]))
+    def run_once(state, sub):
+        if bundle > 1:
+            state, m = step(state, teacher, x, y, sub)
+            float(jax.device_get(m.ravel()[-1]))
+        else:
+            state, m = step(state, teacher, x, y, sub, jnp.asarray(5.0))
+            float(jax.device_get(m["loss"].ravel()[-1]))
+        return state
 
-    # drain each launch: metrics fetch mirrors real training cadence
+    state = run_once(state, key)
     t0 = time.perf_counter()
     for i in range(steps // bundle):
         key, sub = jax.random.split(key)
-        if bundle > 1:
-            state, m = step(state, teacher, *args, sub)
-        else:
-            state, m = step(state, teacher, *args, sub, jnp.asarray(5.0))
-        float(jax.device_get(m["loss"].ravel()[-1]))
+        state = run_once(state, sub)
     dt = time.perf_counter() - t0
     steps = (steps // bundle) * bundle
 
