@@ -75,6 +75,38 @@ def _unfold(x: jax.Array, k: int, s: int, p: int) -> jax.Array:
     return pat.reshape(b, oh * ow, c * k * k)
 
 
+def _unfold_klast(x: jax.Array, k: int, s: int, p: int) -> jax.Array:
+    """Patch gather in (kh, kw, c) feature order: each of the k^2 strided
+    slices lands as one CONTIGUOUS c-wide feature chunk, unlike nn.Unfold's
+    (c, kh, kw) order whose interleaved scatter writes at k-element
+    granularity (3 of 128 vector lanes for these stems — measured ~20
+    ms/step across the three stem unfolds).  Consumers permute their
+    weight rows once via _klast_perm instead."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    oh = (h + 2 * p - k) // s + 1
+    ow = (w + 2 * p - k) // s + 1
+    pieces = []
+    for ki in range(k):
+        for kj in range(k):
+            pieces.append(jax.lax.slice(
+                x, (0, ki, kj, 0),
+                (b, ki + (oh - 1) * s + 1, kj + (ow - 1) * s + 1, c),
+                (1, s, s, 1)))
+    return jnp.concatenate(pieces, axis=-1).reshape(b, oh * ow, k * k * c)
+
+
+def _klast_perm(k: int, c: int) -> np.ndarray:
+    """feat_idx mapping a (kh, kw, c) slot to its nn.Unfold (c, kh, kw)
+    weight row: slot (ki*k + kj)*c + ch  ->  row ch*k^2 + ki*k + kj."""
+    idx = np.empty((k * k * c,), np.int32)
+    for ki in range(k):
+        for kj in range(k):
+            for ch in range(c):
+                idx[(ki * k + kj) * c + ch] = ch * k * k + ki * k + kj
+    return idx
+
+
 def _init_linear(key, fan_in, fan_out):
     return {"kernel": 0.02 * jax.random.truncated_normal(
         key, -2.0, 2.0, (fan_in, fan_out)),
@@ -105,7 +137,17 @@ def apply_performer(p: dict, x: jax.Array, *, eps: float = 1e-5,
                     dtype=jnp.float32) -> jax.Array:
     """Token_performer forward (token_performer.py:31-69), dropout-free
     (dp=0.1 in the reference; UVC fine-tunes from pretrained stems where
-    eval-mode equivalence is what matters)."""
+    eval-mode equivalence is what matters).
+
+    On accelerators the whole stage runs as fused Pallas programs
+    (ops/performer.py — LN/kqv/random-features/linear-attention/proj/MLP
+    with a custom two-pass VJP); the composed XLA path below is the CPU
+    and odd-shape fallback, and the kernel's numerical oracle."""
+    if jax.default_backend() != "cpu":
+        from uvc_tpu.ops.performer import fused_performer
+        out = fused_performer(p, x, dtype=dtype)
+        if out is not None:
+            return out
     emb = p["proj"]["kernel"].shape[0]
     m = p["prm_w"].shape[0]
     w = jax.lax.stop_gradient(p["prm_w"]).astype(jnp.float32)
@@ -233,15 +275,44 @@ def t2t_stem(params: dict, x: jax.Array, cfg: ViTConfig,
             return apply_performer(p, t, dtype=dtype)
         return apply_token_transformer(p, t, t.shape[-1], dtype=dtype)
 
-    t = _unfold(x.astype(dtype), 7, 4, 2)              # [B, g0^2, 147]
-    t = stage(stem["attention1"], t)
+    t = None
+    if cfg.tokens_type == "performer" and jax.default_backend() != "cpu":
+        # stage-1 fast path: space-to-depth neighborhood + slot-scattered
+        # kqv weights instead of the 3-channel-granularity nn.Unfold
+        # gather (ops/performer.py s2d_stage1_inputs; ~20 ms/step saved)
+        from uvc_tpu.ops.performer import (fused_performer,
+                                           s2d_stage1_inputs)
+        xs, feat_idx = s2d_stage1_inputs(x.astype(dtype))
+        if xs is not None:
+            t = fused_performer(stem["attention1"], xs, dtype=dtype,
+                                feat_idx=feat_idx)
+    if t is None:
+        t = _unfold(x.astype(dtype), 7, 4, 2)          # [B, g0^2, 147]
+        t = stage(stem["attention1"], t)
     t = t.reshape(b, g0, g0, -1)
-    t = _unfold(t, 3, 2, 1)                            # [B, (g0/2)^2, 9*td]
-    t = stage(stem["attention2"], t)
+    td = t.shape[-1]
+    fast2 = None
+    if cfg.tokens_type == "performer" and jax.default_backend() != "cpu":
+        from uvc_tpu.ops.performer import fused_performer
+        t2 = _unfold_klast(t, 3, 2, 1)                 # (kh, kw, c) order
+        fast2 = fused_performer(stem["attention2"], t2, dtype=dtype,
+                                feat_idx=_klast_perm(3, td))
+    if fast2 is None:
+        t = _unfold(t, 3, 2, 1)                        # [B, (g0/2)^2, 9*td]
+        t = stage(stem["attention2"], t)
+    else:
+        t = fast2
     g1 = g0 // 2
     t = t.reshape(b, g1, g1, -1)
-    t = _unfold(t, 3, 2, 1)                            # [B, (g1/2)^2, 9*td]
-    return (t @ stem["project"]["kernel"].astype(dtype)
+    if cfg.tokens_type == "performer" and jax.default_backend() != "cpu":
+        # final soft split feeds a plain linear: permute ITS rows instead
+        t = _unfold_klast(t, 3, 2, 1)
+        kernel = stem["project"]["kernel"][
+            jnp.asarray(_klast_perm(3, t.shape[-1] // 9))]
+    else:
+        t = _unfold(t, 3, 2, 1)                        # [B, (g1/2)^2, 9*td]
+        kernel = stem["project"]["kernel"]
+    return (t @ kernel.astype(dtype)
             + stem["project"]["bias"].astype(dtype))
 
 
