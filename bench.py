@@ -106,6 +106,58 @@ def bench_model(config_name, batch, steps, *, on_tpu):
     }
 
 
+def bench_serving(on_tpu):
+    """Compact-serving vs masked-dense inference at a ~56%-FLOPs pruned
+    DeiT-Small (the reference serves masked weights at dense cost —
+    infer/compact.py physically slices the discovered architecture)."""
+    import numpy as np
+
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.infer.compact import apply_compact, compact_model
+    from uvc_tpu.models import vit
+
+    cfg = get_config("deit_small_patch16_224")
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(key, cfg)
+    ln, d, f = cfg.depth, cfg.embed_dim, cfg.mlp_hidden
+    attn = np.zeros((ln, d), np.float32)
+    attn[:, :d // 2] = 1.0                      # keep 3 of 6 heads
+    mlp = np.zeros((ln, f), np.float32)
+    mlp[:, :f // 2] = 1.0                       # keep half the MLP units
+    masks = {"attn": jnp.asarray(attn), "mlp": jnp.asarray(mlp)}
+    layers, top = compact_model(params, masks, cfg,
+                                block_keep=np.ones(ln, bool))
+    batch = 256 if on_tpu else 8
+    reps = 10 if on_tpu else 2
+    x = jax.random.normal(key, (batch, cfg.img_size, cfg.img_size, 3),
+                          jnp.float32)
+
+    def scan_of(fn):
+        def run(x):
+            def body(c, _):
+                return c + jnp.sum(fn(x * (1 + 1e-6 * c))), None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return c
+        return jax.jit(run)
+
+    compact_fn = scan_of(lambda xb: apply_compact(
+        layers, top, xb, cfg).logits.astype(jnp.float32))
+    dense_fn = scan_of(lambda xb: vit.apply(
+        params, xb, cfg, masks=masks, train=False,
+        dtype=jnp.bfloat16).logits.astype(jnp.float32))
+
+    out = {}
+    for name, fn in (("compact", compact_fn), ("masked_dense", dense_fn)):
+        float(jax.device_get(fn(x)))            # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(jax.device_get(fn(x)))
+        dt = (time.perf_counter() - t0) / 3
+        out[name] = round(batch * reps / dt, 1)
+    out["speedup"] = round(out["compact"] / out["masked_dense"], 3)
+    return out
+
+
 def main():
     # the TPU may surface under a plugin platform name (e.g. "axon"), so
     # detect "accelerator" as anything that is not host CPU
@@ -115,11 +167,13 @@ def main():
                         256 if on_tpu else 16, 30 if on_tpu else 3,
                         on_tpu=on_tpu)
     models = {}
+    serving = {}
     if on_tpu:   # secondary rows: regression visibility off the flagship
         models["deit_base_patch16_224"] = bench_model(
             "deit_base_patch16_224", 128, 10, on_tpu=on_tpu)
         models["t2t_vit_14"] = bench_model("t2t_vit_14", 256, 10,
                                            on_tpu=on_tpu)
+        serving = bench_serving(on_tpu)
 
     print(json.dumps({
         "metric": "deit_small_stage1_uvc_train_throughput_per_chip",
@@ -128,6 +182,7 @@ def main():
         "vs_baseline": small["vs_baseline"],
         "mfu": small["mfu"],
         "models": models,
+        "serving": serving,
     }))
 
 

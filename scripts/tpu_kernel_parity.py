@@ -106,6 +106,55 @@ def check(name, b, n, d, heads, tol=2e-2):
     return all_ok
 
 
+def check_performer(tol=3e-2):
+    """Fused performer stage (ops/performer.py) vs composed XLA at the
+    real T2T stem shapes, on-chip, bf16, fwd + grads."""
+    import uvc_tpu.ops.performer as perf
+    from uvc_tpu.models.t2t_vit import apply_performer, init_performer
+
+    all_ok = True
+    for name, b, n, dim, emb in [("t2t_stage1", 32, 3136, 147, 64),
+                                 ("t2t_stage2", 32, 784, 576, 64)]:
+        p = init_performer(jax.random.PRNGKey(0), dim, emb)
+        x = jax.random.normal(jax.random.PRNGKey(1), (b, n, dim),
+                              jnp.bfloat16) * 0.5
+
+        fused = jax.jit(lambda p, x: perf.fused_performer(
+            p, x, dtype=jnp.bfloat16))
+        orig = perf.fused_performer
+        try:
+            of = jax.device_get(fused(p, x))
+            gf = jax.device_get(jax.jit(jax.grad(
+                lambda p, x: jnp.sum(perf.fused_performer(
+                    p, x, dtype=jnp.bfloat16).astype(jnp.float32) ** 2)))(
+                    p, x))
+            perf.fused_performer = lambda *a, **k: None  # force composed
+            comp = jax.jit(lambda p, x: apply_performer(
+                p, x, dtype=jnp.bfloat16))
+            oc = jax.device_get(comp(p, x))
+            gc = jax.device_get(jax.jit(jax.grad(
+                lambda p, x: jnp.sum(apply_performer(
+                    p, x, dtype=jnp.bfloat16).astype(jnp.float32) ** 2)))(
+                    p, x))
+        finally:
+            perf.fused_performer = orig
+        e = rel_err(of, oc)
+        ok = e < tol
+        print(f"{name:12s} fwd  rel_err={e:.4f} {'PASS' if ok else 'FAIL'}")
+        all_ok &= ok
+        flat_c = dict(jax.tree_util.tree_leaves_with_path(gc))
+        for path, val in jax.tree_util.tree_leaves_with_path(gf):
+            pname = jax.tree_util.keystr(path)
+            if "prm_w" in pname:
+                continue
+            e = rel_err(val, flat_c[path])
+            ok = e < tol
+            print(f"{name:12s} grad {pname:24s} rel_err={e:.4f} "
+                  f"{'PASS' if ok else 'FAIL'}")
+            all_ok &= ok
+    return all_ok
+
+
 def main():
     if jax.default_backend() == "cpu":
         print("WARNING: running on CPU — this harness is meant for the "
@@ -114,6 +163,7 @@ def main():
     ok = True
     for name, b, n, d, heads in SHAPES:
         ok &= check(name, b, n, d, heads)
+    ok &= check_performer()
     print("ALL PASS" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
