@@ -138,13 +138,6 @@ def _prm(t32, w_ref, m):
     return jnp.exp(wtx - xd) / math.sqrt(m)
 
 
-def _prm_vjp(t32, kp, dkp):
-    """d/dt of _prm given t (f32), kp = _prm(t), upstream dkp; also returns
-    dwtx = kp * dkp (needed nowhere else)."""
-    dwtx = kp * dkp
-    return dwtx
-
-
 # ---------------------------------------------------------------------------
 # forward kernels
 # ---------------------------------------------------------------------------
