@@ -63,3 +63,37 @@ def test_compact_flops_fraction_below_one():
     layers, _ = compact_model(params, masks, CFG)
     frac = compact_flops_fraction(layers, CFG)
     assert 0.0 < frac < 0.85
+
+
+def test_compact_t2t_matches_masked_dense():
+    """Serving compaction extends to the T2T family: dense tokens-to-token
+    stem + compacted backbone must reproduce the masked dense T2T model."""
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.models import t2t_vit
+
+    cfg = get_config("t2t_vit_7").replace(
+        img_size=64, num_classes=7, depth=3, num_heads=2, embed_dim=16,
+        mlp_ratio=2.0)
+    params = t2t_vit.init_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(5), params["head"]["kernel"].shape) * 0.1
+    s = jnp.array([[1.0, 8.0], [0.0, 8.0], [0.0, 8.0]])
+    r = jnp.array([[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]])
+    masks = build_masks(params, s, r, cfg)
+    params["block_gating"] = jnp.array(
+        [[-1.0, 1.0], [-1.0, 1.0], [1.0, -1.0]])
+
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.img_size, cfg.img_size, 3))
+    g = params["block_gating"]
+    keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
+    gating = jnp.stack([1.0 - keep, keep], axis=-1)
+    ref = t2t_vit.apply(params, x, cfg, gating_distrib=gating, masks=masks,
+                        train=False, dtype=jnp.float32)
+
+    layers, top = compact_model(params, masks, cfg)
+    assert len(layers) == 2
+    assert "t2t" in top
+    out = apply_compact(layers, top, x, cfg, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(ref.logits), rtol=2e-4, atol=2e-4)

@@ -106,7 +106,7 @@ def compact_model(params: dict, masks: Dict[str, jax.Array],
     top_keys = ["patch_embed", "cls_token", "pos_embed", "norm", "head"]
     top = {k: jax.tree.map(np.asarray, params[k]) for k in top_keys
            if k in params}
-    for k in ("dist_token", "head_dist", "resnet"):
+    for k in ("dist_token", "head_dist", "resnet", "t2t"):
         if k in params:
             top[k] = jax.tree.map(np.asarray, params[k])
     return layers, top
@@ -118,15 +118,25 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
     from uvc_tpu.ops.attention import layer_attention
     eps = cfg.layer_norm_eps
     b = x.shape[0]
-    t = vit.patch_embed(top, x, cfg, dtype)
-    tokens = [jnp.broadcast_to(jnp.asarray(top["cls_token"]),
-                               (b, 1, cfg.embed_dim)).astype(dtype)]
-    if cfg.distilled and "dist_token" in top:
-        tokens.append(jnp.broadcast_to(
-            jnp.asarray(top["dist_token"]),
-            (b, 1, cfg.embed_dim)).astype(dtype))
-    t = jnp.concatenate(tokens + [t], axis=1)
-    t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
+    if cfg.tokens_type != "none":
+        # T2T family: dense tokens-to-token stem + fixed sinusoid pos
+        from uvc_tpu.models.t2t_vit import sinusoid_pos_embed, t2t_stem
+        t = t2t_stem(top, x, cfg, dtype)
+        cls = jnp.broadcast_to(jnp.asarray(top["cls_token"]),
+                               (b, 1, cfg.embed_dim)).astype(dtype)
+        t = jnp.concatenate([cls, t], axis=1)
+        t = t + jnp.asarray(sinusoid_pos_embed(
+            cfg.num_patches + 1, cfg.embed_dim)).astype(dtype)
+    else:
+        t = vit.patch_embed(top, x, cfg, dtype)
+        tokens = [jnp.broadcast_to(jnp.asarray(top["cls_token"]),
+                                   (b, 1, cfg.embed_dim)).astype(dtype)]
+        if cfg.distilled and "dist_token" in top:
+            tokens.append(jnp.broadcast_to(
+                jnp.asarray(top["dist_token"]),
+                (b, 1, cfg.embed_dim)).astype(dtype))
+        t = jnp.concatenate(tokens + [t], axis=1)
+        t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
 
     scale = cfg.head_size ** -0.5
     for blk in layers:
