@@ -332,3 +332,49 @@ def test_bundled_step_matches_separate_steps():
                                np.asarray(st2.cstate.s), rtol=1e-5,
                                atol=1e-5)
     assert int(st2.step) == k
+
+
+def test_stage2_bundled_step_matches_separate_steps():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+    from uvc_tpu.train.state import TrainHParams, create_train_state
+    from uvc_tpu.train.step import build_stage2_step
+
+    cfg = get_config("testing")
+    hp = MinimaxHParams(enable_patch_gating=0)
+    thp = TrainHParams(num_classes=cfg.num_classes, t_total=100,
+                       warmup_steps=2, mixup=0.8, cutmix=1.0)
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(key, cfg)
+    teacher = vit.init_params(jax.random.PRNGKey(1), cfg)
+    masks = build_masks(params, jnp.zeros((cfg.depth, 2)),
+                        jnp.zeros((cfg.depth, cfg.num_heads)), cfg)
+    k = 2
+    xs = jax.random.normal(jax.random.PRNGKey(2),
+                           (k, 4, cfg.img_size, cfg.img_size, 3))
+    ys = jax.random.randint(jax.random.PRNGKey(3), (k, 4), 0,
+                            cfg.num_classes)
+    base = jax.random.PRNGKey(7)
+
+    sep = build_stage2_step(cfg, hp, thp, donate=False)
+    st1 = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
+    losses = []
+    for i in range(k):
+        st1, m = sep(st1, teacher, masks, xs[i], ys[i],
+                     jax.random.fold_in(base, i))
+        losses.append(float(m["loss"]))
+
+    bun = build_stage2_step(cfg, hp, thp, donate=False, bundle=k)
+    st2 = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
+    st2, ms = bun(st2, teacher, masks, xs, ys, base)
+    np.testing.assert_allclose(np.asarray(ms["loss"]), np.asarray(losses),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
