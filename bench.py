@@ -19,10 +19,34 @@ model's gating/token-selection overheads make this a slight undercount).
 """
 
 import json
+import signal
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def _raise_timeout(signum, frame):
+    raise _SectionTimeout()
+
+
+def _bounded(seconds, fn, *args, **kwargs):
+    """Run a bench section with a watchdog: the TPU service occasionally
+    wedges for ~1 h (every op hangs); a stuck secondary row must not cost
+    the whole benchmark report."""
+    old = signal.signal(signal.SIGALRM, _raise_timeout)
+    signal.alarm(seconds)
+    try:
+        return fn(*args, **kwargs)
+    except _SectionTimeout:
+        return {"error": "timeout"}
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 REFERENCE_BASE_IMG_PER_SEC_PER_GPU = 36.0   # DeiT-Base UVC phase, per GPU
 PEAK_FLOPS = 197e12                          # TPU v5e bf16
@@ -169,11 +193,12 @@ def main():
     models = {}
     serving = {}
     if on_tpu:   # secondary rows: regression visibility off the flagship
-        models["deit_base_patch16_224"] = bench_model(
-            "deit_base_patch16_224", 128, 10, on_tpu=on_tpu)
-        models["t2t_vit_14"] = bench_model("t2t_vit_14", 256, 10,
-                                           on_tpu=on_tpu)
-        serving = bench_serving(on_tpu)
+        models["deit_base_patch16_224"] = _bounded(
+            420, bench_model, "deit_base_patch16_224", 128, 10,
+            on_tpu=on_tpu)
+        models["t2t_vit_14"] = _bounded(
+            560, bench_model, "t2t_vit_14", 256, 10, on_tpu=on_tpu)
+        serving = _bounded(300, bench_serving, on_tpu)
 
     print(json.dumps({
         "metric": "deit_small_stage1_uvc_train_throughput_per_chip",
