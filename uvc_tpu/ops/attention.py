@@ -295,14 +295,17 @@ def _layer_group(b: int, d: int, np_: int) -> int:
     """VMEM budget for the layer kernel: x/out blocks scale with group,
     weights (wqkv + wproj ~ 4*d*d*2B) are resident once."""
     weights = 4 * d * d * 2
-    for g in (4, 2, 1):
+    # g=8 fits narrow widths (DeiT-Tiny) only: at D=384 the double-buffered
+    # in+out block DMA alone reaches the 16M scoped-vmem limit (measured
+    # 16.07M, 68K over — invariant to scratch shaving)
+    for g in (8, 4, 2, 1):
         if b % g != 0:
             continue
         blocks = 2 * g * np_ * d * 2 * 2       # x+out, double-buffered
         # qkv + ctx live for the whole group (flattened matmuls) + f32
         # logits temporaries
         scratch = g * np_ * 4 * d * 2 + np_ * np_ * 4 * 2
-        if weights + blocks + scratch < 13 * 1024 * 1024:
+        if weights + blocks + scratch < 12 * 1024 * 1024:
             return g
     return 1
 
