@@ -94,7 +94,16 @@ def shard_params(params, mesh: Mesh, mp: int = 1):
 
 
 def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh.
+
+    Multi-host: every process holds the complete (identical) value, so the
+    global replicated array is assembled from the process-local copy with
+    make_array_from_process_local_data; single-host is a plain device_put."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
