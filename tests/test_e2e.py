@@ -127,6 +127,62 @@ def test_stage1_resume_past_end_returns_masks(tmp_path):
                  r1.masks, r2.masks)
 
 
+def _opt_state_count(tree):
+    """First adam 'count' leaf inside a serialized opt_state dict."""
+    if isinstance(tree, dict):
+        if "count" in tree:
+            return int(tree["count"])
+        for v in tree.values():
+            c = _opt_state_count(v)
+            if c is not None:
+                return c
+    return None
+
+
+def test_stage2_full_resume(tmp_path):
+    """Stage-2 mid-run resume: AdamW moments/step counter and best-acc
+    continue from the per-epoch checkpoint (VERDICT r2 missing #3; parity
+    model: Baseline_pruning/main.py:400-415 — the reference's own UVC
+    stage-2 cannot resume)."""
+    import numpy as np
+
+    from uvc_tpu.cli.joint_train import main as joint_main
+    from uvc_tpu.cli.post_train import main as post_main
+    from uvc_tpu.utils.checkpoint import load_checkpoint
+
+    joint_main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--warmup_epochs", "1",
+        "--post_num_epochs", "0", "--warmup_steps", "1",
+        "--enable_patch_gating", "0",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "s1",
+    ])
+    ckpt = sorted((tmp_path / "s1").glob("*.ckpt"))[0]
+    common = [
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--enable_patch_gating", "0", "--eval_every", "0",
+        "--checkpoint_dir", str(ckpt),
+        "--dp", "1", "--output_dir", str(tmp_path),
+    ]
+    post_main(common + ["--num_epochs", "1", "--name", "p1"])
+    ck1 = load_checkpoint(str(tmp_path / "p1" / "testing_post_0.ckpt"))
+    assert int(ck1["global_step"]) == 2
+    assert _opt_state_count(ck1["opt_state"]) == 2
+    post_main(common + ["--num_epochs", "2", "--name", "p2", "--resume",
+                        str(tmp_path / "p1" / "testing_post_0.ckpt")])
+    # epoch 0 skipped, epoch 1 runs 2 more steps on restored moments
+    ck2 = load_checkpoint(str(tmp_path / "p2" / "testing_post_1.ckpt"))
+    assert int(ck2["global_step"]) == 4
+    assert _opt_state_count(ck2["opt_state"]) == 4
+    q1 = np.asarray(ck1["params"]["blocks"]["qkv"]["kernel"])
+    q2 = np.asarray(ck2["params"]["blocks"]["qkv"]["kernel"])
+    assert not np.array_equal(q1, q2)  # training actually continued
+
+
 def test_stage1_orbax_checkpoint_roundtrip(tmp_path):
     """--use_orbax saves via the orbax manager; resume accepts the orbax
     directory and continues duals exactly like the msgpack path."""

@@ -378,3 +378,76 @@ def test_stage2_bundled_step_matches_separate_steps():
     for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_timm_epoch_schedule_matches_timm_values():
+    """Stage-2 --sched surface (post_train.py:302, :350, :469-482): the
+    per-epoch lr series must match timm's CosineLRScheduler /
+    StepLRScheduler values for the published stage-2 recipe (lr 5e-4,
+    min_lr 1e-5, warmup_lr 1e-6, warmup_epochs 5, epochs 100).  timm is
+    not installed here; expectations are computed from timm's documented
+    formulas (cosine_lr.py: warmup_lr_init + t*step; lr_min +
+    0.5*(base-min)*(1+cos(pi*t/t_initial)); cycle_limit=1 -> lr_min after
+    t_initial; step_lr.py: base*rate**(t//decay_t))."""
+    import math
+
+    from uvc_tpu.utils.schedules import timm_epoch_schedule
+
+    base, mn, wl, wt, ep = 5e-4, 1e-5, 1e-6, 5, 100
+    spe = 10  # steps per epoch; lr must be constant within an epoch
+    cos = timm_epoch_schedule("cosine", base, epochs=ep,
+                              steps_per_epoch=spe, min_lr=mn, warmup_lr=wl,
+                              warmup_epochs=wt)
+
+    def timm_cosine(t):
+        if t < wt:
+            return wl + t * (base - wl) / wt
+        if t >= ep:
+            return mn
+        return mn + 0.5 * (base - mn) * (1 + math.cos(math.pi * t / ep))
+
+    for t in [0, 1, 2, 4, 5, 6, 30, 50, 99, 100, 120]:
+        got = float(cos(t * spe))            # first step of epoch t
+        got_mid = float(cos(t * spe + spe - 1))  # last step of epoch t
+        np.testing.assert_allclose(got, timm_cosine(t), rtol=1e-6,
+                                   err_msg=f"epoch {t}")
+        np.testing.assert_allclose(got_mid, got, rtol=1e-6)
+
+    st = timm_epoch_schedule("step", base, epochs=ep, steps_per_epoch=spe,
+                             min_lr=mn, warmup_lr=wl, warmup_epochs=wt,
+                             decay_epochs=30, decay_rate=0.1)
+
+    def timm_step(t):
+        if t < wt:
+            return wl + t * (base - wl) / wt
+        return base * 0.1 ** (t // 30)
+
+    for t in [0, 3, 5, 10, 29, 30, 59, 60, 95]:
+        np.testing.assert_allclose(float(st(t * spe)), timm_step(t),
+                                   rtol=1e-6, err_msg=f"epoch {t}")
+
+
+def test_stage2_step_uses_sched_lr():
+    """A stage-2 step built with thp.sched='cosine' reports the per-epoch
+    timm lr in its metrics (flag wiring: cli/flags.py add_stage2_flags ->
+    to_train_hparams -> TrainHParams.lr_schedule)."""
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.ops.stes import ste_ceil
+
+    cfg = get_config("testing")
+    hp = MinimaxHParams(gating_interval=2, enable_patch_gating=0)
+    thp = TrainHParams(num_classes=cfg.num_classes, mixup=0.0, cutmix=0.0,
+                       num_epochs=10, warmup_epochs=0, sched="cosine",
+                       min_lr=1e-5, steps_per_epoch=3,
+                       compute_dtype=jnp.float32)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    cstate = init_compression_state(cfg, hp)
+    masks = build_masks(params, ste_ceil(cstate.s), ste_ceil(cstate.r), cfg)
+    state = create_train_state(params, thp, None)
+    step = build_stage2_step(cfg, hp, thp, donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (4, cfg.img_size, cfg.img_size, 3))
+    y = jnp.zeros((4,), jnp.int32)
+    _, m = step(state, params, masks, x, y, jax.random.PRNGKey(2))
+    # epoch 0 of 10, no warmup: lr = min + (base-min)/2 * (1+cos(0)) = base
+    np.testing.assert_allclose(float(m["lr"]), thp.learning_rate, rtol=1e-6)

@@ -158,6 +158,37 @@ def add_uvc_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--post_num_epochs", default=100, type=int)
 
 
+def add_stage2_flags(p: argparse.ArgumentParser) -> None:
+    """Stage-2 timm ``create_scheduler`` surface (post_train.py:469-482).
+
+    The reference steps the timm scheduler once per epoch
+    (post_train.py:350); cosine and step are implemented
+    (utils/schedules.py timm_epoch_schedule), the remaining knobs are
+    accepted INERT for flag parity.  timm's ``--warmup-lr`` is exposed as
+    --sched_warmup_lr because --warmup_lr is already the stage-1 UVC
+    constant warmup lr (a different quantity)."""
+    p.add_argument("--sched", default=None, choices=["cosine", "step"],
+                   help="per-epoch timm lr schedule; default None keeps "
+                        "the per-step warmup schedule (--decay_type)")
+    p.add_argument("--min-lr", dest="min_lr", default=1e-5, type=float,
+                   help="cosine floor (timm lr_min)")
+    p.add_argument("--decay-epochs", dest="decay_epochs", default=30.0,
+                   type=float, help="epoch interval for --sched step")
+    p.add_argument("--decay-rate", "--dr", dest="decay_rate", default=0.1,
+                   type=float, help="decay factor for --sched step")
+    p.add_argument("--sched_warmup_lr", default=1e-6, type=float,
+                   help="timm --warmup-lr: lr at epoch 0 of the sched "
+                        "warmup leg")
+    p.add_argument("--cooldown-epochs", dest="cooldown_epochs", default=10,
+                   type=int,
+                   help="INERT (reference discards create_scheduler's "
+                        "extended epoch count: post_train.py:302)")
+    p.add_argument("--patience-epochs", dest="patience_epochs", default=10,
+                   type=int, help="INERT (plateau sched not selectable)")
+    p.add_argument("--lr-noise", dest="lr_noise", type=float, nargs="+",
+                   default=None, help="INERT (timm lr noise not replicated)")
+
+
 def to_hparams(args) -> MinimaxHParams:
     zlr = tuple(int(v) for v in str(args.zlr_schedule_list).split(","))
     return MinimaxHParams(
@@ -209,6 +240,14 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
                            else args.distillation_type),
         distillation_alpha=args.distillation_alpha,
         distillation_tau=args.distillation_tau,
+        # stage-2 timm scheduler surface (absent on the stage-1 parser ->
+        # defaults keep the per-step schedule)
+        sched=getattr(args, "sched", None),
+        min_lr=getattr(args, "min_lr", 1e-5),
+        sched_warmup_lr=getattr(args, "sched_warmup_lr", 1e-6),
+        decay_epochs=getattr(args, "decay_epochs", 30.0),
+        decay_rate=getattr(args, "decay_rate", 0.1),
+        steps_per_epoch=steps_per_epoch // gas,
         compute_dtype=jnp.bfloat16)
 
 

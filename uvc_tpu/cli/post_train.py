@@ -26,6 +26,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser("uvc_tpu stage-2 post training")
     flags.add_common_flags(parser)
     flags.add_uvc_flags(parser)
+    flags.add_stage2_flags(parser)
     parser.add_argument("--checkpoint_dir", required=True,
                         help="stage-1 checkpoint to fine-tune")
     args = flags.parse_with_config(parser, argv)
@@ -90,7 +91,8 @@ def main(argv=None):
                output_dir=args.output_dir, name=args.name,
                eval_every=args.eval_every, mesh=mesh, mp=args.mp,
                world_batch=args.train_batch_size,
-               steps_per_launch=args.steps_per_launch)
+               steps_per_launch=args.steps_per_launch,
+               resume=args.resume, use_orbax=bool(args.use_orbax))
 
 
 if __name__ == "__main__":

@@ -41,7 +41,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                name: str = "post", eval_every: int = 1000,
                world_batch: Optional[int] = None,
                save_checkpoints: bool = True, mesh=None, mp: int = 1,
-               steps_per_launch: int = 1,
+               steps_per_launch: int = 1, resume: Optional[str] = None,
+               use_orbax: bool = False,
                logger: Optional[MetricLogger] = None) -> Stage2Result:
     logger = logger or MetricLogger(output_dir, name)
     if teacher_params is None:
@@ -55,6 +56,38 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
 
     # copy params into the (donated) train state: callers keep their buffers
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
+    start_epoch = 0
+    resumed_step = 0
+    resumed_best = 0.0
+    key = jax.random.PRNGKey(seed)
+    if resume:
+        # full mid-run resume: weights + AdamW moments + progress + best
+        # accuracy.  The reference's UVC stage-2 cannot resume (it saves
+        # only best params: post_train.py:395-400); the parity model is
+        # the baseline suite's full resume (Baseline_pruning/
+        # main.py:400-415) — the 150-epoch stage-2 fine-tune is the
+        # longest job in the recipe and must restart-survive.
+        import os
+
+        from flax import serialization
+
+        from uvc_tpu.utils.checkpoint import OrbaxManager, load_checkpoint
+        if os.path.isdir(resume):
+            ck = OrbaxManager(resume).restore()
+        else:
+            ck = load_checkpoint(resume)
+        state = state.replace(
+            step=jnp.asarray(ck["global_step"], jnp.int32),
+            params=serialization.from_state_dict(state.params,
+                                                 ck["params"]),
+            opt_state=serialization.from_state_dict(state.opt_state,
+                                                    ck["opt_state"]))
+        start_epoch = int(ck.get("epoch", -1)) + 1
+        resumed_step = int(ck.get("global_step", 0))
+        resumed_best = float(ck.get("best_acc", 0.0))
+        key = jax.random.PRNGKey(int(ck.get("key_seed", seed)))
+        logger.info(f"Resumed stage-2 from {resume} at epoch {start_epoch} "
+                    f"(step {resumed_step}, best {resumed_best:.4f})")
     shard_fn = lambda t: t  # noqa: E731
     prefetch_put = None  # default device put when unsharded
     if mesh is not None:
@@ -85,14 +118,20 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     steps_per_epoch = len(train_loader)
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 
-    key = jax.random.PRNGKey(seed)
-    best_acc = 0.0
-    global_step = 0
+    # orbax manager for resumable per-epoch checkpoints (pass its
+    # directory as resume=)
+    ck_mgr = None
+    if save_checkpoints and use_orbax:
+        from uvc_tpu.utils.checkpoint import OrbaxManager
+        ck_mgr = OrbaxManager(f"{logger.dir}/orbax")
+
+    best_acc = resumed_best
+    global_step = resumed_step
     losses = AverageMeter()
     metrics = None
 
     logger.info("***** [Stage 2] Post Training *****")
-    for epoch in range(thp.num_epochs):
+    for epoch in range(start_epoch, thp.num_epochs):
         train_loader.set_epoch(epoch)
         t0 = time.time()
         buf = []
@@ -176,6 +215,22 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             losses.update(float(jax.device_get(metrics["loss"])))
         logger.info(f"[Stage2 Epoch {epoch}] {dt:.1f}s loss {losses.avg:.4f}")
         losses.reset()
+
+        if save_checkpoints:
+            from flax import serialization
+
+            # resumable per-epoch state, symmetric with stage 1
+            tree = {"params": state.params,
+                    "opt_state": serialization.to_state_dict(
+                        state.opt_state),
+                    "masks": masks, "epoch": epoch,
+                    "global_step": global_step, "best_acc": best_acc,
+                    "key_seed": seed + 10_000 + epoch}
+            if ck_mgr is not None:
+                ck_mgr.save(epoch, tree)
+            else:
+                save_checkpoint(
+                    f"{logger.dir}/{cfg.name}_post_{epoch}.ckpt", tree)
 
     if test_loader is not None:
         acc = run_validation(eval_step, state.params, masks, test_loader,

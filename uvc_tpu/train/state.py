@@ -46,10 +46,28 @@ class TrainHParams:
     # N-th step applies clip + AdamW + the arch update
     # (joint_train.py:414-424, post_train.py:641-649)
     accum_steps: int = 1
+    # stage-2 timm scheduler surface (post_train.py:302, :350, :469-482):
+    # when ``sched`` is set ("cosine"|"step") the lr follows the per-epoch
+    # timm schedule instead of the per-step warmup-cosine/linear
+    sched: Optional[str] = None
+    min_lr: float = 1e-5
+    sched_warmup_lr: float = 1e-6        # timm --warmup-lr default
+    decay_epochs: float = 30.0
+    decay_rate: float = 0.1
+    steps_per_epoch: int = 0             # epoch granularity for ``sched``
     # numerics
     compute_dtype: Any = jnp.bfloat16
 
     def lr_schedule(self):
+        if self.sched:
+            from uvc_tpu.utils.schedules import timm_epoch_schedule
+            return timm_epoch_schedule(
+                self.sched, self.learning_rate, epochs=self.num_epochs,
+                steps_per_epoch=self.steps_per_epoch, min_lr=self.min_lr,
+                warmup_lr=self.sched_warmup_lr,
+                warmup_epochs=self.warmup_epochs,
+                decay_epochs=self.decay_epochs,
+                decay_rate=self.decay_rate)
         if self.decay_type == "cosine":
             return warmup_cosine_schedule(self.learning_rate,
                                           self.warmup_steps, self.t_total)
