@@ -131,9 +131,16 @@ def bench_model(config_name, batch, steps, *, on_tpu):
 
 
 def bench_serving(on_tpu):
-    """Compact-serving vs masked-dense inference at a ~56%-FLOPs pruned
-    DeiT-Small (the reference serves masked weights at dense cost —
-    infer/compact.py physically slices the discovered architecture)."""
+    """Compact-serving vs masked-dense inference at a discovered
+    architecture: half the heads, half the MLP units, token selection at
+    ratio 0.7 (the baseline suite's token-selection rate).  The reference
+    serves masked weights at dense cost (post_train.py:357-360);
+    infer/compact.py physically slices the architecture AND drops the
+    unselected tokens (static per-image top-k from the trained scorer).
+    Both sides run the same arch: dense applies masks + the deterministic
+    token mask, compact computes only the kept shapes.  `logit_rel_err`
+    records the serving-vs-masked-dense logit drift from dropping the
+    positional ghost tokens (see apply_compact)."""
     import numpy as np
 
     from uvc_tpu.configs import get_config
@@ -141,8 +148,13 @@ def bench_serving(on_tpu):
     from uvc_tpu.models import vit
 
     cfg = get_config("deit_small_patch16_224")
+    token_ratio = 0.7
     key = jax.random.PRNGKey(0)
     params = vit.init_params(key, cfg)
+    # head is zero-init (ViT convention) — randomize so the logit-drift
+    # figure is not 0/0
+    params["head"]["kernel"] = 0.05 * jax.random.normal(
+        jax.random.PRNGKey(7), params["head"]["kernel"].shape)
     ln, d, f = cfg.depth, cfg.embed_dim, cfg.mlp_hidden
     attn = np.zeros((ln, d), np.float32)
     attn[:, :d // 2] = 1.0                      # keep 3 of 6 heads
@@ -164,11 +176,19 @@ def bench_serving(on_tpu):
             return c
         return jax.jit(run)
 
-    compact_fn = scan_of(lambda xb: apply_compact(
-        layers, top, xb, cfg).logits.astype(jnp.float32))
-    dense_fn = scan_of(lambda xb: vit.apply(
-        params, xb, cfg, masks=masks, train=False,
-        dtype=jnp.bfloat16).logits.astype(jnp.float32))
+    def compact_logits(xb):
+        return apply_compact(layers, top, xb, cfg,
+                             token_ratio=token_ratio
+                             ).logits.astype(jnp.float32)
+
+    def dense_logits(xb):
+        return vit.apply(params, xb, cfg, masks=masks,
+                         patch_gate_mode=2, patch_ratio=token_ratio,
+                         rng=None, train=False,
+                         dtype=jnp.bfloat16).logits.astype(jnp.float32)
+
+    compact_fn = scan_of(compact_logits)
+    dense_fn = scan_of(dense_logits)
 
     out = {}
     for name, fn in (("compact", compact_fn), ("masked_dense", dense_fn)):
@@ -179,6 +199,11 @@ def bench_serving(on_tpu):
         dt = (time.perf_counter() - t0) / 3
         out[name] = round(batch * reps / dt, 1)
     out["speedup"] = round(out["compact"] / out["masked_dense"], 3)
+    out["token_ratio"] = token_ratio
+    lc, ld = (np.asarray(jax.device_get(jax.jit(f)(x[:16])))
+              for f in (compact_logits, dense_logits))
+    out["logit_rel_err"] = round(
+        float(np.linalg.norm(lc - ld) / np.linalg.norm(ld)), 4)
     return out
 
 
@@ -193,12 +218,15 @@ def main():
     models = {}
     serving = {}
     if on_tpu:   # secondary rows: regression visibility off the flagship
+        models["deit_tiny_patch16_224"] = _bounded(
+            420, bench_model, "deit_tiny_patch16_224", 512, 20,
+            on_tpu=on_tpu)
         models["deit_base_patch16_224"] = _bounded(
             420, bench_model, "deit_base_patch16_224", 128, 10,
             on_tpu=on_tpu)
         models["t2t_vit_14"] = _bounded(
             560, bench_model, "t2t_vit_14", 256, 10, on_tpu=on_tpu)
-        serving = _bounded(300, bench_serving, on_tpu)
+        serving = _bounded(420, bench_serving, on_tpu)
 
     print(json.dumps({
         "metric": "deit_small_stage1_uvc_train_throughput_per_chip",

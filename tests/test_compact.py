@@ -97,3 +97,85 @@ def test_compact_t2t_matches_masked_dense():
     out = apply_compact(layers, top, x, cfg, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out.logits),
                                np.asarray(ref.logits), rtol=2e-4, atol=2e-4)
+
+
+def test_compact_token_ratio_one_is_identity():
+    """token_ratio=1.0 must not engage the gather path; logits equal the
+    plain compact (and thus the masked dense) model."""
+    params, masks = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (4, CFG.img_size, CFG.img_size, CFG.in_chans))
+    layers, top = compact_model(params, masks, CFG)
+    ref = apply_compact(layers, top, x, CFG, dtype=jnp.float32)
+    out = apply_compact(layers, top, x, CFG, dtype=jnp.float32,
+                        token_ratio=1.0)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(ref.logits), rtol=1e-6)
+
+
+def test_compact_token_selection_matches_dense_mask():
+    """The physically-dropped token set equals the deterministic eval
+    mask's kept set (ops/gumbel.py topk_token_mask) — selection parity
+    between serving and masked-dense eval."""
+    from uvc_tpu.ops.gumbel import topk_token_mask
+
+    params, masks = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(2),
+                          (3, CFG.img_size, CFG.img_size, CFG.in_chans))
+    ratio = 0.7
+    k = int(ratio * CFG.num_patches)
+
+    emb = vit.patch_embed(params, x, CFG, jnp.float32)
+    scores = (emb @ params["token_scorer"]["kernel"]
+              + params["token_scorer"]["bias"]).squeeze(-1)
+    mask = np.asarray(topk_token_mask(scores, k))
+    assert (mask.sum(-1) == k).all()
+    assert (mask[:, 0] == 1).all()
+
+    boosted = scores.at[:, 0].set(jnp.inf)
+    idx = np.sort(np.asarray(jax.lax.top_k(boosted, k)[1]), axis=-1)
+    for b in range(mask.shape[0]):
+        np.testing.assert_array_equal(np.nonzero(mask[b])[0], idx[b])
+
+
+def test_compact_token_slimming_runs_and_tracks_dense():
+    """Slimmed serving forward: correct static shapes, reduced FLOPs, and
+    logits close to the masked dense model (exact up to the dropped
+    ghost tokens' position-only contribution — see apply_compact)."""
+    params, masks = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (4, CFG.img_size, CFG.img_size, CFG.in_chans))
+    ratio = 0.7
+    g = params["block_gating"]
+    keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
+    gating = jnp.stack([1.0 - keep, keep], axis=-1)
+    # masked dense with the SAME deterministic token mask (rng=None)
+    ref = vit.apply(params, x, CFG, gating_distrib=gating, masks=masks,
+                    patch_gate_mode=2, patch_ratio=ratio, rng=None,
+                    train=False, dtype=jnp.float32)
+
+    layers, top = compact_model(params, masks, CFG)
+    out = apply_compact(layers, top, x, CFG, dtype=jnp.float32,
+                        token_ratio=ratio)
+    ref_l = np.asarray(ref.logits)
+    out_l = np.asarray(out.logits)
+    rel = np.linalg.norm(out_l - ref_l) / np.linalg.norm(ref_l)
+    assert rel < 0.25, f"slimmed logits drifted {rel:.3f} from masked dense"
+
+    frac_full = compact_flops_fraction(layers, CFG)
+    frac_slim = compact_flops_fraction(layers, CFG, token_ratio=ratio)
+    assert frac_slim < frac_full * 0.85
+
+
+def test_dense_eval_deterministic_token_mask():
+    """vit.apply with token selection and rng=None uses the noise-free
+    top-k (serving semantics) and returns exactly k kept tokens."""
+    params, _ = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(4),
+                          (2, CFG.img_size, CFG.img_size, CFG.in_chans))
+    out = vit.apply(params, x, CFG, patch_gate_mode=2, patch_ratio=0.5,
+                    rng=None, train=False, dtype=jnp.float32)
+    k = int(0.5 * CFG.num_patches)
+    m = np.asarray(out.token_mask)
+    assert (m.sum(-1) == k).all()
+    assert (m[:, 0] == 1).all()

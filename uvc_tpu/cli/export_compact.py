@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--save_file", required=True)
     p.add_argument("--img_size", default=224, type=int)
     p.add_argument("--num_classes", default=1000, type=int)
+    p.add_argument("--token_ratio", default=None, type=float,
+                   help="physically drop tokens at serving: keep the "
+                        "scorer's top int(ratio*N) patches per image "
+                        "(use the discovered --patch_ratio); default "
+                        "keeps the full sequence")
     args = p.parse_args(argv)
 
     from uvc_tpu.compress.masks import build_masks
@@ -48,12 +53,14 @@ def main(argv=None):
                             jnp.ceil(jnp.asarray(cs["r"])), cfg)
 
     layers, top = compact_model(params, masks, cfg)
-    frac = compact_flops_fraction(layers, cfg)
+    frac = compact_flops_fraction(layers, cfg, token_ratio=args.token_ratio)
     print(f"compact model: {len(layers)} blocks kept, "
           f"{frac * 100:.2f}% of dense FLOPs")
     save_checkpoint(args.save_file, {
         "layers": layers, "top": top, "model_type": args.model_type,
         "img_size": args.img_size, "num_classes": args.num_classes,
+        "token_ratio": (-1.0 if args.token_ratio is None
+                        else float(args.token_ratio)),
         "flops_fraction": float(frac)})
     print(f"saved to {args.save_file}")
 

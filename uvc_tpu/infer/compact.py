@@ -106,15 +106,29 @@ def compact_model(params: dict, masks: Dict[str, jax.Array],
     top_keys = ["patch_embed", "cls_token", "pos_embed", "norm", "head"]
     top = {k: jax.tree.map(np.asarray, params[k]) for k in top_keys
            if k in params}
-    for k in ("dist_token", "head_dist", "resnet", "t2t"):
+    for k in ("dist_token", "head_dist", "resnet", "t2t", "token_scorer"):
         if k in params:
             top[k] = jax.tree.map(np.asarray, params[k])
     return layers, top
 
 
 def apply_compact(layers: List[dict], top: dict, x: jax.Array,
-                  cfg: ViTConfig, *, dtype=jnp.bfloat16) -> ForwardOutput:
-    """Inference forward of the compacted model (eval semantics)."""
+                  cfg: ViTConfig, *, dtype=jnp.bfloat16,
+                  token_ratio: Optional[float] = None) -> ForwardOutput:
+    """Inference forward of the compacted model (eval semantics).
+
+    ``token_ratio`` physically drops tokens at serving using the trained
+    token scorer: per image, only the static top-``int(ratio*N)`` patch
+    tokens (token 0 force-kept, matching the training mask's
+    ``mask[:, 0] = 1``) enter the transformer — the sequence axis really
+    shrinks, unlike the dense path where unselected tokens remain as
+    positional "ghost" rows multiplied to zero before pos-embed add
+    (models/vit.py:282-296; reference model_distilled.py:446-456).
+    Logits therefore agree with the masked dense model only up to the
+    ghost tokens' (small, position-only) contribution; the kept-token
+    *selection* is identical to the deterministic eval mask
+    (ops/gumbel.py topk_token_mask).  ViT family only (T2T's UVC path
+    has no token selection)."""
     from uvc_tpu.ops.attention import layer_attention
     eps = cfg.layer_norm_eps
     b = x.shape[0]
@@ -135,8 +149,32 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
             tokens.append(jnp.broadcast_to(
                 jnp.asarray(top["dist_token"]),
                 (b, 1, cfg.embed_dim)).astype(dtype))
-        t = jnp.concatenate(tokens + [t], axis=1)
-        t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
+        if token_ratio is not None and token_ratio < 1.0 \
+                and "token_scorer" in top:
+            # physical token slimming: gather the top-k scored patches
+            # (and their pos-embed rows) per image; k is static so every
+            # shape stays static for XLA
+            n, d = t.shape[1], t.shape[2]
+            prefix = len(tokens)
+            k = int(token_ratio * cfg.num_patches)
+            scores = (t.astype(jnp.float32)
+                      @ jnp.asarray(top["token_scorer"]["kernel"],
+                                    jnp.float32)
+                      + jnp.asarray(top["token_scorer"]["bias"],
+                                    jnp.float32)).squeeze(-1)   # [B, N]
+            scores = scores.at[:, 0].set(jnp.inf)  # mask[:, 0] = 1 parity
+            idx = jnp.sort(jax.lax.top_k(scores, k)[1], axis=-1)  # [B, k]
+            t = jnp.take_along_axis(t, idx[..., None], axis=1)
+            pos = jnp.asarray(top["pos_embed"]).astype(dtype)
+            pos_patch = jnp.take_along_axis(
+                jnp.broadcast_to(pos[:, prefix:], (b, n, d)),
+                idx[..., None], axis=1)
+            t = jnp.concatenate(
+                [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
+                 t + pos_patch], axis=1)
+        else:
+            t = jnp.concatenate(tokens + [t], axis=1)
+            t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
 
     scale = cfg.head_size ** -0.5
     for blk in layers:
@@ -175,13 +213,19 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
                          token_mask=None)
 
 
-def compact_flops_fraction(layers: List[dict], cfg: ViTConfig) -> float:
+def compact_flops_fraction(layers: List[dict], cfg: ViTConfig,
+                           token_ratio: Optional[float] = None) -> float:
     """Fraction of dense FLOPs the compact model actually computes."""
     from uvc_tpu.compress.resource import build_macs_table
     table = build_macs_table(cfg)
     n = cfg.seq_len
     d = cfg.embed_dim
     macs = float(table.embed)
+    if token_ratio is not None and token_ratio < 1.0:
+        # physical token slimming: prefix tokens + top-k kept patches
+        n = (cfg.seq_len - cfg.num_patches) + int(
+            token_ratio * cfg.num_patches)
+        macs += cfg.num_patches * d                # scorer matmul
     for blk in layers:
         hk_dim = blk["proj"]["kernel"].shape[0]
         fk = blk["fc1"]["kernel"].shape[1]

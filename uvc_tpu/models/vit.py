@@ -258,7 +258,9 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
       patch_gate_mode: 1 applies the sigmoid patch gate (:434-444).
       jumping: accumulate every block's output into the final representation
         (:502-506).
-      rng: PRNG key, required when tau > 0.
+      rng: PRNG key for gumbel token sampling; None selects the
+        deterministic noise-free top-k (serving semantics, matching the
+        physical token drop in infer/compact.py).
     """
     eps = cfg.layer_norm_eps
     b = x.shape[0]
@@ -280,13 +282,17 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     token_select = (patch_gate_mode == 2
                     or (isinstance(tau, (int, float)) and tau > 0))
     if token_select:
-        if rng is None:
-            raise ValueError("token selection requires rng")
         k = int(patch_ratio * cfg.num_patches)
         scores = (x.astype(jnp.float32)
                   @ params["token_scorer"]["kernel"].astype(jnp.float32)
                   + params["token_scorer"]["bias"]).squeeze(-1)  # [B, N]
-        token_mask = gumbel_topk_mask(rng, scores, k, tau)
+        if rng is None:
+            # serving semantics: deterministic noise-free top-k (matches
+            # the physical token drop in infer/compact.py)
+            from uvc_tpu.ops.gumbel import topk_token_mask
+            token_mask = topk_token_mask(scores, k)
+        else:
+            token_mask = gumbel_topk_mask(rng, scores, k, tau)
         x = x * token_mask[..., None].astype(dtype)
 
     tokens = [jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim)

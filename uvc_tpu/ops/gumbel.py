@@ -73,6 +73,17 @@ def gumbel_topk_mask(key: jax.Array, logits: jax.Array, k: int,
     return mask.at[..., 0].set(1.0)
 
 
+def topk_token_mask(logits: jax.Array, k: int) -> jax.Array:
+    """Deterministic (noise-free) top-k token mask — the serving-time
+    counterpart of ``gumbel_topk_mask``: keep exactly the ``k``
+    highest-scoring tokens, with token 0 force-included by boosting its
+    score (not appended), so the kept set has exactly ``k`` members and
+    matches the physical token-drop gather in infer/compact.py."""
+    boosted = logits.at[..., 0].set(jnp.inf)
+    kth = jax.lax.top_k(boosted, k)[0][..., -1:]
+    return (boosted >= kth).astype(logits.dtype)
+
+
 def softl0(g: jax.Array, eps: jax.Array | float) -> jax.Array:
     """Soft-L0 gate ``g^2 / (g^2 + eps)`` (reference SoftL0 without the
     sqrt — the resource fn uses the un-sqrt'd form at uvc_utils.py:448-449).
