@@ -173,3 +173,97 @@ def test_fused_layer_vjp_head_group_split():
                             "dmask"], gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# LN-fused sublayer (LN1 + qkv + attention + mask + proj + residual)
+# ---------------------------------------------------------------------------
+
+
+def _composed_layer_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, heads,
+                       scale, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    a_in = ((x32 - mean) * jax.lax.rsqrt(var + eps) * g1 + b1).astype(x.dtype)
+    return x + _composed_layer(a_in, wqkv, bqkv, wproj, bproj, mask, heads,
+                               scale)
+
+
+def _layer_ln_inputs(b=2, n=12, d=16):
+    x, wqkv, bqkv, wproj, bproj, mask = _layer_inputs(b, n, d)
+    ks = jax.random.split(jax.random.PRNGKey(9), 2)
+    g1 = 1.0 + 0.1 * jax.random.normal(ks[0], (d,))
+    b1 = 0.1 * jax.random.normal(ks[1], (d,))
+    return x, g1, b1, wqkv, bqkv, wproj, bproj, mask
+
+
+def test_fused_layer_ln_fwd_matches_composition():
+    from uvc_tpu.ops.attention import fused_layer_attention_ln
+    args = _layer_ln_inputs()
+    heads, scale = 2, (args[0].shape[-1] // 2) ** -0.5
+    ref = _composed_layer_ln(*args, heads, scale)
+    out = fused_layer_attention_ln(*args, num_heads=heads, scale=scale,
+                                   eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_layer_ln_vjp_matches_composition():
+    """The LN-fused backward kernel must reproduce autodiff through the
+    composition for ALL eight inputs — including the LN scale/bias grads
+    (new accumulators) and the residual path in dx."""
+    from uvc_tpu.ops.attention import fused_layer_attention_ln
+    args = _layer_ln_inputs()
+    heads, scale = 2, (args[0].shape[-1] // 2) ** -0.5
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_layer_ln(*a, heads, scale) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention_ln(
+            *a, num_heads=heads, scale=scale, eps=1e-6,
+            interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for name, a, b_ in zip(["dx", "dg1", "db1", "dwqkv", "dbqkv", "dwproj",
+                            "dbproj", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_fused_layer_ln_wide_fallback_vjp():
+    """Widths whose f32 accumulators overflow the VMEM budget must route
+    through the LN-peel + delegated backward and still match autodiff."""
+    from uvc_tpu.ops.attention import (_layer_ln_bwd_group, _pad_rows,
+                                       fused_layer_attention_ln)
+    b, n, d, heads = 1, 12, 768, 6
+    assert _layer_ln_bwd_group(b, d, _pad_rows(n)) is None, \
+        "expected the fallback path at d=768"
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    x = jax.random.normal(ks[0], (b, n, d)) * 0.5
+    g1 = 1.0 + 0.1 * jax.random.normal(ks[1], (d,))
+    b1 = 0.1 * jax.random.normal(ks[2], (d,))
+    wqkv = jax.random.normal(ks[3], (d, 3 * d)) * 0.03
+    bqkv = jax.random.normal(ks[4], (3 * d,)) * 0.03
+    wproj = jax.random.normal(ks[5], (d, d)) * 0.03
+    bproj = jax.random.normal(ks[6], (d,)) * 0.03
+    mask = (jax.random.uniform(ks[7], (d,)) > 0.3).astype(jnp.float32)
+    args = (x, g1, b1, wqkv, bqkv, wproj, bproj, mask)
+    heads_scale = (d // heads) ** -0.5
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_layer_ln(*a, heads, heads_scale) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention_ln(
+            *a, num_heads=heads, scale=heads_scale, eps=1e-6,
+            interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for name, a, b_ in zip(["dx", "dg1", "db1", "dwqkv", "dbqkv", "dwproj",
+                            "dbproj", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)

@@ -39,6 +39,18 @@ def _pad_len(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _pad_rows(n: int) -> int:
+    """Sequence padding for the fused *layer* kernels.
+
+    The sequence axis is a sublane dimension for every HBM-visible block
+    ([N, D] activations) — only 16-alignment (bf16 tile) is required, not
+    128: the [N, N] attention logits exist solely inside the kernel, where
+    Mosaic pads the lane axis in registers.  For ViT's N=197 this cuts the
+    padded row count from 256 (+30% on the dominant qkv/proj matmul rows)
+    to 208 (+5.6%)."""
+    return -(-n // 16) * 16
+
+
 def _compiler_params():
     """Grid programs are independent across the batch — declare the grid
     dimension parallel so Mosaic can overlap program epilogues (~5%)."""
@@ -369,7 +381,7 @@ def fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *,
     (no separate forward re-run).
     """
     b, n, _ = x.shape
-    np_ = _pad_len(n)
+    np_ = _pad_rows(n)
     if np_ != n:
         x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
     out = _fused_layer(x, wqkv, bqkv, wproj, bproj, mask,
@@ -673,3 +685,334 @@ def layer_attention(x, wqkv, bqkv, wproj, bproj, mask, *, num_heads: int,
         return ctx @ wproj + bproj
     return fused_layer_attention(x, wqkv, bqkv, wproj, bproj, mask,
                                  num_heads=num_heads, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# LN-fused sublayer: LN1 + qkv + attention + mask + proj + residual add,
+# one program each way
+# ---------------------------------------------------------------------------
+
+
+def _ln_rows(x32, gamma, beta, eps):
+    """Row layernorm in f32 (inside-kernel twin of models/vit._layer_norm).
+    Returns (a_in_f32, xhat, inv) — xhat/inv feed the backward."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    return xhat * gamma + beta, xhat, inv
+
+
+def _layer_ln_fwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, bproj_ref, mask_ref, o_ref, *,
+                         scale: float, n_valid: int, heads: int, group: int,
+                         d: int, eps: float):
+    """out = x + proj(attn(LN(x))) in one program.
+
+    vs _layer_fwd_kernel this absorbs the two remaining per-sublayer XLA
+    elementwise passes (LN1 and the residual add) — each a full [B, N, D]
+    HBM round trip (the cost VERDICT r2 flagged: models/vit.py:356-380).
+    The LN is VPU work on rows already resident in VMEM.  Padded rows
+    produce garbage LN outputs (LN(0)=beta) whose attention output the
+    caller slices off; padded keys are bias-masked as before."""
+    np_ = x_ref.shape[-2]
+    dm = x_ref.shape[-1]
+    dh = d // heads
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    bias = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    x32 = x_ref[...].reshape(group * np_, dm).astype(jnp.float32)
+    a_in, _, _ = _ln_rows(x32, g1_ref[...].astype(jnp.float32),
+                          b1_ref[...].astype(jnp.float32), eps)
+    a_in = a_in.astype(jnp.bfloat16)
+    qkv = (jnp.dot(a_in, wqkv_ref[...],
+                   preferred_element_type=jnp.float32)
+           + bqkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+    qkv = qkv.reshape(group, np_, 3 * d)
+    ctxs = []
+    for g in range(group):
+        for h in range(heads):
+            q = qkv[g, :, h * dh:(h + 1) * dh]
+            k = qkv[g, :, d + h * dh:d + (h + 1) * dh]
+            v = qkv[g, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            ctxs.append(jnp.dot(p.astype(jnp.bfloat16), v,
+                                preferred_element_type=jnp.float32) / s)
+    ctx = jnp.concatenate(
+        [jnp.concatenate(ctxs[g * heads:(g + 1) * heads], axis=-1)
+         for g in range(group)], axis=0).astype(jnp.bfloat16)
+    ctx = ctx * mask_ref[...].astype(jnp.bfloat16)
+    out = jnp.dot(ctx, wproj_ref[...],
+                  preferred_element_type=jnp.float32) \
+        + bproj_ref[...].astype(jnp.float32)
+    o_ref[...] = (x32 + out).reshape(group, np_, dm).astype(o_ref.dtype)
+
+
+def _layer_ln_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
+                         wproj_ref, mask_ref, do_ref, dx_ref, dg1_ref,
+                         db1_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                         dbproj_ref, dmask_ref, *, scale: float,
+                         n_valid: int, heads: int, group: int, d: int,
+                         eps: float):
+    """Whole LN+attention-sublayer+residual backward in one program.
+
+    Extends _layer_bwd_kernel with the LN recompute and its VJP:
+      dz = inv * (dy*g - mean(dy*g) - xhat*mean(dy*g*xhat)) + dout
+    (the +dout is the residual path), with dg1/db1 joining the weight-grad
+    f32 accumulators (constant index_map -> sequential grid, see
+    _call_layer_bwd).  Padded x/dout rows are zero, so LN of a padded row
+    is beta with zero upstream grad — every accumulated term they touch
+    vanishes."""
+    np_ = x_ref.shape[-2]
+    dm = x_ref.shape[-1]
+    dh = d // heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dg1_ref, db1_ref, dwqkv_ref, dbqkv_ref, dwproj_ref,
+                    dbproj_ref, dmask_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    bias = jnp.where(col < n_valid, 0.0, -1e30).astype(jnp.float32)
+    maskv = mask_ref[...].astype(jnp.float32)
+    gamma = g1_ref[...].astype(jnp.float32)
+    beta = b1_ref[...].astype(jnp.float32)
+    for g in range(group):
+        x32 = x_ref[g].astype(jnp.float32)
+        a32, xhat, inv = _ln_rows(x32, gamma, beta, eps)
+        a_in = a32.astype(jnp.bfloat16)
+        do = do_ref[g].astype(jnp.bfloat16)
+        qkv = (jnp.dot(a_in, wqkv_ref[...],
+                       preferred_element_type=jnp.float32)
+               + bqkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(do, wproj_ref[...], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        dctx = (t * maskv).astype(jnp.bfloat16)
+        ctx_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+        for h in range(heads):
+            q = qkv[:, h * dh:(h + 1) * dh]
+            k = qkv[:, d + h * dh:d + (h + 1) * dh]
+            v = qkv[:, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            doh = dctx[:, h * dh:(h + 1) * dh]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale + bias
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            s = jnp.sum(p, axis=-1, keepdims=True)
+            probs = p / s
+            pb = probs.astype(jnp.bfloat16)
+            ctx_parts.append(jnp.dot(pb, v,
+                                     preferred_element_type=jnp.float32))
+            dv_parts.append(jax.lax.dot_general(
+                pb, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dp = jax.lax.dot_general(doh, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * probs, axis=-1, keepdims=True)
+            ds = (probs * (dp - row)).astype(jnp.bfloat16)
+            dq_parts.append(
+                jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale)
+            dk_parts.append(jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        ctx = jnp.concatenate(ctx_parts, axis=-1)
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=-1),
+             jnp.concatenate(dk_parts, axis=-1),
+             jnp.concatenate(dv_parts, axis=-1)], axis=-1) \
+            .astype(jnp.bfloat16)
+        da = jax.lax.dot_general(
+            dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # d a_in [N, dm]
+        dg = da * gamma
+        m1 = jnp.mean(dg, axis=-1, keepdims=True)
+        m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
+        dz = (dg - m1 - xhat * m2) * inv
+        dx_ref[g] = (dz + do_ref[g].astype(jnp.float32)) \
+            .astype(dx_ref.dtype)
+        dg1_ref[...] += jnp.sum(da * xhat, axis=0, keepdims=True)
+        db1_ref[...] += jnp.sum(da, axis=0, keepdims=True)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            a_in, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+        dwproj_ref[...] += jax.lax.dot_general(
+            (ctx * maskv).astype(jnp.bfloat16), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbproj_ref[...] += jnp.sum(do.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+        dmask_ref[...] += jnp.sum(t * ctx, axis=0, keepdims=True)
+
+
+def _layer_ln_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
+    """VMEM budget for the LN-fused backward (square widths only): the
+    _layer_bwd_group estimate plus the LN's f32 row temporaries
+    (x32/xhat/da/dz) and the dg1/db1 accumulators."""
+    weights = 4 * d * d * 2
+    accums = 4 * d * d * 4 + 2 * d * 4
+    scratch = (np_ * 3 * d * 2 * 2
+               + np_ * d * 10
+               + 3 * np_ * np_ * 4
+               + 4 * np_ * d * 4)              # LN f32 temporaries
+    for g in (4, 2, 1):
+        if b % g:
+            continue
+        blocks = 3 * g * np_ * d * 2 * 2
+        if weights + accums + scratch + blocks < 13 * 1024 * 1024:
+            return g
+    return None
+
+
+def _call_layer_ln_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, scale,
+                       n_valid, num_heads, eps, interpret=False):
+    b, np_, dm = x.shape
+    da = wqkv.shape[1] // 3
+    g = _layer_group(b, max(dm, da), np_)
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    xspec = pl.BlockSpec((g, np_, dm), lambda i: (i, 0, 0),
+                         memory_space=mspace)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=mspace)
+
+    return pl.pallas_call(
+        functools.partial(_layer_ln_fwd_kernel, scale=scale,
+                          n_valid=n_valid, heads=num_heads, group=g, d=da,
+                          eps=eps),
+        grid=(b // g,),
+        in_specs=[xspec, wspec((dm,)), wspec((dm,)), wspec((dm, 3 * da)),
+                  wspec((3 * da,)), wspec((da, dm)), wspec((dm,)),
+                  wspec((da,))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, np_, dm), x.dtype),
+        interpret=interpret,
+        **({} if interpret else _compiler_params()),
+    )(x, g1, b1, wqkv, bqkv, wproj, bproj, mask)
+
+
+def _call_layer_ln_bwd(x, g1, b1, wqkv, bqkv, wproj, mask, do, scale,
+                       n_valid, num_heads, eps, g, interpret=False):
+    b, np_, d = x.shape
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    xspec = pl.BlockSpec((g, np_, d), lambda i: (i, 0, 0),
+                         memory_space=mspace)
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=mspace)
+
+    f32 = jnp.float32
+    # sequential grid + constant-index_map accumulators (see
+    # _call_layer_bwd) — do NOT mark the grid parallel
+    return pl.pallas_call(
+        functools.partial(_layer_ln_bwd_kernel, scale=scale,
+                          n_valid=n_valid, heads=num_heads, group=g, d=d,
+                          eps=eps),
+        grid=(b // g,),
+        in_specs=[xspec, cspec((d,)), cspec((d,)), cspec((d, 3 * d)),
+                  cspec((3 * d,)), cspec((d, d)), cspec((d,)), xspec],
+        out_specs=(xspec, cspec((1, d)), cspec((1, d)), cspec((d, 3 * d)),
+                   cspec((1, 3 * d)), cspec((d, d)), cspec((1, d)),
+                   cspec((1, d))),
+        out_shape=(jax.ShapeDtypeStruct((b, np_, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+        interpret=interpret,
+    )(x, g1, b1, wqkv, bqkv, wproj, mask, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _fused_layer_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, scale,
+                    n_valid, num_heads, eps, interpret):
+    return _call_layer_ln_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, mask,
+                              scale, n_valid, num_heads, eps, interpret)
+
+
+def _fused_layer_ln_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, scale,
+                        n_valid, num_heads, eps, interpret):
+    out = _fused_layer_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, scale,
+                          n_valid, num_heads, eps, interpret)
+    return out, (x, g1, b1, wqkv, bqkv, wproj, bproj, mask)
+
+
+def _fused_layer_ln_bwd(scale, n_valid, num_heads, eps, interpret, res,
+                        dout):
+    x, g1, b1, wqkv, bqkv, wproj, bproj, mask = res
+    b, np_, d = x.shape
+    assert wqkv.shape[1] == 3 * d, (
+        "LN-fused sublayer requires square model/attention widths")
+    g = _layer_ln_bwd_group(b, d, np_)
+    if g is not None:
+        dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dmask = \
+            _call_layer_ln_bwd(x, g1, b1, wqkv, bqkv, wproj, mask, dout,
+                               scale, n_valid, num_heads, eps, g, interpret)
+        return (dx, dg1[0].astype(g1.dtype), db1[0].astype(b1.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv[0].astype(bqkv.dtype),
+                dwproj.astype(wproj.dtype), dbproj[0].astype(bproj.dtype),
+                dmask[0].astype(mask.dtype))
+    # wide models whose accumulators don't fit: peel the LN off with an
+    # XLA recompute and delegate to the plain sublayer backward (which
+    # routes to the head-group-split kernel or the composed fallback)
+    def ln_fn(xx, gg, bb):
+        x32 = xx.astype(jnp.float32)
+        y, _, _ = _ln_rows(x32, gg.astype(jnp.float32),
+                           bb.astype(jnp.float32), eps)
+        return y.astype(xx.dtype)
+
+    a_in, ln_vjp = jax.vjp(ln_fn, x, g1, b1)
+    da, dwqkv, dbqkv, dwproj, dbproj, dmask = _fused_layer_bwd(
+        scale, n_valid, num_heads, interpret,
+        (a_in, wqkv, bqkv, wproj, bproj, mask), dout)
+    dx, dg1, db1 = ln_vjp(da)
+    return (dx + dout.astype(dx.dtype), dg1, db1, dwqkv, dbqkv, dwproj,
+            dbproj, dmask)
+
+
+_fused_layer_ln.defvjp(_fused_layer_ln_fwd, _fused_layer_ln_bwd)
+
+
+def fused_layer_attention_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, *,
+                             num_heads: int, scale: float, eps: float,
+                             interpret: bool = False):
+    """x + proj(attn(LN(x; g1, b1))) as one Pallas program each way.
+
+    The residual-gated variants (part gating, drop-path) keep the
+    separate-LN path — their branch coefficients multiply the sublayer
+    output before the add, which this fusion absorbs."""
+    b, n, _ = x.shape
+    np_ = _pad_rows(n)
+    if np_ != n:
+        x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+    out = _fused_layer_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask,
+                          float(scale), n, num_heads, float(eps), interpret)
+    return out[:, :n, :]
+
+
+def layer_attention_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, *,
+                       num_heads: int, scale: float, eps: float):
+    """Backend dispatch for the LN-fused residual attention sublayer."""
+    if jax.default_backend() == "cpu":
+        x32 = x.astype(jnp.float32)
+        a_in, _, _ = _ln_rows(x32, g1.astype(jnp.float32),
+                              b1.astype(jnp.float32), eps)
+        a_out = layer_attention(a_in.astype(x.dtype), wqkv, bqkv, wproj,
+                                bproj, mask, num_heads=num_heads,
+                                scale=scale)
+        return x + a_out
+    return fused_layer_attention_ln(x, g1, b1, wqkv, bqkv, wproj, bproj,
+                                    mask, num_heads=num_heads, scale=scale,
+                                    eps=eps)
