@@ -43,15 +43,20 @@ Measured PASS trajectory (TPU v5e, ~25 min):
   91.9 93.3 72.4 73.1 70.6 73.1 59.7 55.2 73.1 49.9 44.6 39.2 31.1 43.6
   45.5 — accuracy 99.7% at 45% Real FLOPs, exp/real converged to 0.1%.
 
-Usage:  timeout 3600 python scripts/trajectory_fidelity.py   # ~10 min TPU
+Usage:  timeout 3600 python scripts/trajectory_fidelity.py \
+            --out FIDELITY_r03.json                          # ~25 min TPU
 
-Exits non-zero if any gate fails.  Referenced from CLAUDE.md (workflows).
+Exits non-zero if any gate fails; --out writes the gate results, the
+Real-FLOPs series and accuracies as a JSON round artifact (VERDICT r2
+missing #2).  Referenced from CLAUDE.md (workflows).
 """
 
+import argparse
 import json
 import os
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -115,6 +120,13 @@ def main():
     from uvc_tpu.train.stage1 import run_stage1
     from uvc_tpu.train.state import TrainHParams
     from uvc_tpu.utils.logging import MetricLogger
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the JSON artifact here "
+                         "(e.g. FIDELITY_r03.json)")
+    opts = ap.parse_args()
+    t0 = time.time()
 
     cfg = get_config("deit_tiny_distilled_patch16_224").replace(
         img_size=IMG, num_classes=CLASSES)
@@ -203,6 +215,22 @@ def main():
     for name, passed in gates.items():
         print(f"{name}: {'PASS' if passed else 'FAIL'}")
         ok &= passed
+    if opts.out:
+        with open(opts.out, "w") as f:
+            json.dump({
+                "harness": "trajectory_fidelity",
+                "golden_source": "reference log/deit-tiny-log.log "
+                                 "(Real FLOPs 42.71% @ budget 0.5)",
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+                "ok": bool(ok), "wall_s": round(time.time() - t0, 1),
+                "gates": {k: bool(v) for k, v in gates.items()},
+                "real_flops_series": [round(v, 4) for v in real],
+                "exp_flops_series": [round(v, 4) for v in exp],
+                "pretrain_acc": round(float(pre.best_acc), 4),
+                "compressed_acc": round(float(result.best_acc), 4),
+            }, f, indent=1)
+        print(f"wrote {opts.out}")
     print("ALL PASS" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -145,10 +145,10 @@ def test_fused_layer_vjp_head_group_split():
     kernel per group, dwqkv columns / dwproj rows reassembled, partial dx
     summed).  d=768/heads=6 with N->128 padding triggers ng=2 on the VMEM
     estimate; grads must still match the composition."""
-    from uvc_tpu.ops.attention import (_head_group_split, _pad_len,
+    from uvc_tpu.ops.attention import (_head_group_split, _pad_rows,
                                        fused_layer_attention)
     b, n, d, heads = 1, 12, 768, 6
-    ng, _ = _head_group_split(b, d, heads, _pad_len(n))
+    ng, _ = _head_group_split(b, d, heads, _pad_rows(n))
     assert ng == 2, f"expected the split path, got ng={ng}"
     ks = jax.random.split(jax.random.PRNGKey(5), 6)
     x = jax.random.normal(ks[0], (b, n, d)) * 0.5
