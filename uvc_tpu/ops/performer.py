@@ -117,16 +117,22 @@ def _gelu_and_grad(h32):
     return h32 * phi, phi + h32 * pdf
 
 
-def _recompute_front(x_ref, g, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref,
+def _recompute_front(x_ref, g, ln1g_ref, ln1b_ref, w2_ref, b2_ref,
                      dtype, fmask_ref=None, fcount=None):
-    """LN1 + kqv for one batch item; returns (xhat, rstd, kqv[T, 3e])."""
+    """LN1 + a two-column projection for one batch item.
+
+    Each kernel needs only two of the three k/q/v columns (sums: k,v;
+    apply/bwd1: q,v; bwd2: k,v), so the caller passes a pre-concatenated
+    [dim, 2*emb] weight — exactly one MXU lane tile at emb=64, and a third
+    less front-matmul work than projecting the full kqv.
+    Returns (xn32, xhat, rstd, proj[T, 2e])."""
     mask = None if fmask_ref is None else fmask_ref[...].astype(jnp.float32)
     xn32, xhat, rstd = _ln_f32(x_ref[g], ln1g_ref[...], ln1b_ref[...],
                                mask=mask, count=fcount)
-    kqv = (jnp.dot(xn32.astype(dtype), wkqv_ref[...],
-                   preferred_element_type=jnp.float32)
-           + bkqv_ref[...].astype(jnp.float32))
-    return xn32, xhat, rstd, kqv
+    proj = (jnp.dot(xn32.astype(dtype), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b2_ref[...].astype(jnp.float32))
+    return xn32, xhat, rstd, proj
 
 
 def _prm(t32, w_ref, m):
@@ -143,7 +149,7 @@ def _prm(t32, w_ref, m):
 # ---------------------------------------------------------------------------
 
 
-def _sums_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
+def _sums_kernel(x_ref, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, w_ref,
                  fmask_ref, kptv_ref, kpsum_ref, *, emb: int, m: int,
                  group: int, dtype, fcount):
     @pl.when(pl.program_id(1) == 0)
@@ -152,11 +158,11 @@ def _sums_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
         kpsum_ref[...] = jnp.zeros(kpsum_ref.shape, kpsum_ref.dtype)
 
     for g in range(group):
-        _, _, _, kqv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, dtype,
+        _, _, _, kv = _recompute_front(
+            x_ref, g, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
             fmask_ref if fcount else None, fcount)
-        k = kqv[:, :emb]
-        v = kqv[:, 2 * emb:].astype(dtype)
+        k = kv[:, :emb]
+        v = kv[:, emb:].astype(dtype)
         kp = _prm(k, w_ref, m).astype(dtype)
         kptv_ref[g] += jax.lax.dot_general(
             v, kp, (((0,), (0,)), ((), ())),
@@ -165,17 +171,17 @@ def _sums_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
                                 keepdims=True)           # [1, m]
 
 
-def _apply_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
+def _apply_kernel(x_ref, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, w_ref,
                   fmask_ref, wproj_ref, bproj_ref, ln2g_ref, ln2b_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, kptv_ref,
                   kpsum_ref, o_ref, *, emb: int, m: int, group: int,
                   dtype, fcount):
     for g in range(group):
-        _, _, _, kqv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, dtype,
+        _, _, _, qv = _recompute_front(
+            x_ref, g, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
             fmask_ref if fcount else None, fcount)
-        q = kqv[:, emb:2 * emb]
-        v = kqv[:, 2 * emb:].astype(dtype)
+        q = qv[:, :emb]
+        v = qv[:, emb:].astype(dtype)
         qp32 = _prm(q, w_ref, m)
         qp = qp32.astype(dtype)
         # N=1-column matmuls don't lower cleanly in Mosaic; use a VPU
@@ -204,12 +210,12 @@ def _apply_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
+def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, w_ref,
                  fmask_ref, wproj_ref, bproj_ref, ln2g_ref, ln2b_ref,
                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, kptv_ref,
                  kpsum_ref, do_ref,
                  dx_ref, dkptv_ref, dkpsum_ref, dln1g_ref, dln1b_ref,
-                 dwkqv_ref, dbkqv_ref, dwproj_ref, dbproj_ref, dln2g_ref,
+                 dwqv_ref, dbqv_ref, dwproj_ref, dbproj_ref, dln2g_ref,
                  dln2b_ref, dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref, *,
                  emb: int, m: int, group: int, dtype, fcount):
     """Local (q/v/proj/mlp) grads + global-cotangent accumulation."""
@@ -217,7 +223,7 @@ def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
 
     @pl.when(first)
     def _init_w():
-        for ref in (dln1g_ref, dln1b_ref, dwkqv_ref, dbkqv_ref, dwproj_ref,
+        for ref in (dln1g_ref, dln1b_ref, dwqv_ref, dbqv_ref, dwproj_ref,
                     dbproj_ref, dln2g_ref, dln2b_ref, dwfc1_ref, dbfc1_ref,
                     dwfc2_ref, dbfc2_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
@@ -229,11 +235,11 @@ def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
 
     fmask = None if not fcount else fmask_ref[...].astype(jnp.float32)
     for g in range(group):
-        xn32, xhat1, rstd1, kqv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, dtype,
+        xn32, xhat1, rstd1, qv = _recompute_front(
+            x_ref, g, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
             fmask_ref if fcount else None, fcount)
-        q32 = kqv[:, emb:2 * emb]
-        v = kqv[:, 2 * emb:].astype(dtype)
+        q32 = qv[:, :emb]
+        v = qv[:, emb:].astype(dtype)
         qp32 = _prm(q32, w_ref, m)
         qp = qp32.astype(dtype)
         d = jnp.sum(qp32 * kpsum_ref[g], axis=-1, keepdims=True)  # [T, 1]
@@ -304,16 +310,15 @@ def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) \
             - q32 * jnp.sum(dwtx, axis=-1, keepdims=True)
-        # assemble dkqv (k-cols zero; B2 adds them)
-        zeros = jnp.zeros_like(dq)
-        dkqv = jnp.concatenate([zeros, dq, dattn], axis=-1)      # [T, 3e]
-        dkqv_b = dkqv.astype(dtype)
-        dbkqv_ref[...] += jnp.sum(dkqv, axis=0, keepdims=True)
-        dwkqv_ref[...] += jax.lax.dot_general(
-            xn32.astype(dtype), dkqv_b, (((0,), (0,)), ((), ())),
+        # assemble d(q|v); the k path lives entirely in B2
+        dqv = jnp.concatenate([dq, dattn], axis=-1)              # [T, 2e]
+        dqv_b = dqv.astype(dtype)
+        dbqv_ref[...] += jnp.sum(dqv, axis=0, keepdims=True)
+        dwqv_ref[...] += jax.lax.dot_general(
+            xn32.astype(dtype), dqv_b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dxn = jax.lax.dot_general(
-            dkqv_b, wkqv_ref[...], (((1,), (1,)), ((), ())),
+            dqv_b, wqv_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dln1g_ref[...] += jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
@@ -321,25 +326,25 @@ def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
                             fmask, fcount).astype(dx_ref.dtype)
 
 
-def _bwd2_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
+def _bwd2_kernel(x_ref, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, w_ref,
                  fmask_ref, dkptv_ref, dkpsum_ref, dx_ref, dln1g_ref,
-                 dln1b_ref, dwkqv_ref, dbkqv_ref, *, emb: int, m: int,
+                 dln1b_ref, dwkv_ref, dbkv_ref, *, emb: int, m: int,
                  group: int, dtype, fcount):
     """k/v-global grads from the complete dkptv/dkpsum."""
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
     def _init_w():
-        for ref in (dln1g_ref, dln1b_ref, dwkqv_ref, dbkqv_ref):
+        for ref in (dln1g_ref, dln1b_ref, dwkv_ref, dbkv_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
 
     fmask = None if not fcount else fmask_ref[...].astype(jnp.float32)
     for g in range(group):
-        xn32, xhat1, rstd1, kqv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, dtype,
+        xn32, xhat1, rstd1, kv = _recompute_front(
+            x_ref, g, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
             fmask_ref if fcount else None, fcount)
-        k32 = kqv[:, :emb]
-        v = kqv[:, 2 * emb:].astype(dtype)
+        k32 = kv[:, :emb]
+        v = kv[:, emb:].astype(dtype)
         kp32 = _prm(k32, w_ref, m)
         # dv (global): kp @ dkptv^T
         dv = jax.lax.dot_general(
@@ -356,15 +361,14 @@ def _bwd2_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref, w_ref,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) \
             - k32 * jnp.sum(dwtx, axis=-1, keepdims=True)
-        zeros = jnp.zeros_like(dk)
-        dkqv = jnp.concatenate([dk, zeros, dv], axis=-1)
-        dkqv_b = dkqv.astype(dtype)
-        dbkqv_ref[...] += jnp.sum(dkqv, axis=0, keepdims=True)
-        dwkqv_ref[...] += jax.lax.dot_general(
-            xn32.astype(dtype), dkqv_b, (((0,), (0,)), ((), ())),
+        dkv = jnp.concatenate([dk, dv], axis=-1)                 # [T, 2e]
+        dkv_b = dkv.astype(dtype)
+        dbkv_ref[...] += jnp.sum(dkv, axis=0, keepdims=True)
+        dwkv_ref[...] += jax.lax.dot_general(
+            xn32.astype(dtype), dkv_b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dxn = jax.lax.dot_general(
-            dkqv_b, wkqv_ref[...], (((1,), (1,)), ((), ())),
+            dkv_b, wkv_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dln1g_ref[...] += jnp.sum(dxn * xhat1, axis=0, keepdims=True)
         dln1b_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
@@ -394,10 +398,10 @@ def _specs(bg, tile, dim, interpret):
     return xspec, wspec, bspec
 
 
-def _call_sums(x, ln1g, ln1b, wkqv, bkqv, w, fmask, bg, tile, dtype,
+def _call_sums(x, ln1g, ln1b, wkv, bkv, w, fmask, bg, tile, dtype,
                interpret, fcount):
     b, n, dim = x.shape
-    emb = wkqv.shape[1] // 3
+    emb = wkv.shape[1] // 2
     m = w.shape[0]
     xspec, wspec, bspec = _specs(bg, tile, dim, interpret)
     f32 = jnp.float32
@@ -406,20 +410,20 @@ def _call_sums(x, ln1g, ln1b, wkqv, bkqv, w, fmask, bg, tile, dtype,
                           dtype=dtype, fcount=fcount),
         grid=(b // bg, n // tile),
         in_specs=[xspec, wspec((dim,)), wspec((dim,)),
-                  wspec((dim, 3 * emb)), wspec((3 * emb,)),
+                  wspec((dim, 2 * emb)), wspec((2 * emb,)),
                   wspec((m, emb)), wspec((dim,))],
         out_specs=(bspec((emb, m)), bspec((1, m))),
         out_shape=(jax.ShapeDtypeStruct((b, emb, m), f32),
                    jax.ShapeDtypeStruct((b, 1, m), f32)),
         interpret=interpret,
-    )(x, ln1g, ln1b, wkqv, bkqv, w, fmask)
+    )(x, ln1g, ln1b, wkv, bkv, w, fmask)
 
 
 def _call_apply(x, args, kptv, kpsum, bg, tile, dtype, interpret, fcount):
-    (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
+    (ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
      bfc1, wfc2, bfc2) = args
     b, n, dim = x.shape
-    emb = wkqv.shape[1] // 3
+    emb = wqv.shape[1] // 2
     m = w.shape[0]
     xspec, wspec, bspec = _specs(bg, tile, dim, interpret)
     ospec = pl.BlockSpec((bg, tile, emb), lambda i, j: (i, j, 0),
@@ -429,7 +433,7 @@ def _call_apply(x, args, kptv, kpsum, bg, tile, dtype, interpret, fcount):
                           dtype=dtype, fcount=fcount),
         grid=(b // bg, n // tile),
         in_specs=[xspec, wspec((dim,)), wspec((dim,)),
-                  wspec((dim, 3 * emb)), wspec((3 * emb,)), wspec((m, emb)),
+                  wspec((dim, 2 * emb)), wspec((2 * emb,)), wspec((m, emb)),
                   wspec((dim,)),
                   wspec((emb, emb)), wspec((emb,)), wspec((emb,)),
                   wspec((emb,)), wspec((emb, emb)), wspec((emb,)),
@@ -438,16 +442,16 @@ def _call_apply(x, args, kptv, kpsum, bg, tile, dtype, interpret, fcount):
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, n, emb), x.dtype),
         interpret=interpret,
-    )(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+    )(x, ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b,
       wfc1, bfc1, wfc2, bfc2, kptv, kpsum)
 
 
 def _call_bwd1(x, args, kptv, kpsum, dout, bg, tile, dtype, interpret,
                fcount):
-    (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
+    (ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
      bfc1, wfc2, bfc2) = args
     b, n, dim = x.shape
-    emb = wkqv.shape[1] // 3
+    emb = wqv.shape[1] // 2
     m = w.shape[0]
     xspec, wspec, bspec = _specs(bg, tile, dim, interpret)
     dospec = pl.BlockSpec((bg, tile, emb), lambda i, j: (i, j, 0),
@@ -464,7 +468,7 @@ def _call_bwd1(x, args, kptv, kpsum, dout, bg, tile, dtype, interpret,
                           dtype=dtype, fcount=fcount),
         grid=(b // bg, n // tile),
         in_specs=[xspec, wspec((dim,)), wspec((dim,)),
-                  wspec((dim, 3 * emb)), wspec((3 * emb,)), wspec((m, emb)),
+                  wspec((dim, 2 * emb)), wspec((2 * emb,)), wspec((m, emb)),
                   wspec((dim,)),
                   wspec((emb, emb)), wspec((emb,)), wspec((emb,)),
                   wspec((emb,)), wspec((emb, emb)), wspec((emb,)),
@@ -472,7 +476,7 @@ def _call_bwd1(x, args, kptv, kpsum, dout, bg, tile, dtype, interpret,
                   bspec((emb, m)), bspec((1, m)), dospec],
         out_specs=(xspec, bspec((emb, m)), bspec((1, m)),
                    acc((1, dim)), acc((1, dim)),
-                   acc((dim, 3 * emb)), acc((1, 3 * emb)),
+                   acc((dim, 2 * emb)), acc((1, 2 * emb)),
                    acc((emb, emb)), acc((1, emb)),
                    acc((1, emb)), acc((1, emb)),
                    acc((emb, emb)), acc((1, emb)),
@@ -482,8 +486,8 @@ def _call_bwd1(x, args, kptv, kpsum, dout, bg, tile, dtype, interpret,
                    jax.ShapeDtypeStruct((b, 1, m), f32),
                    jax.ShapeDtypeStruct((1, dim), f32),
                    jax.ShapeDtypeStruct((1, dim), f32),
-                   jax.ShapeDtypeStruct((dim, 3 * emb), f32),
-                   jax.ShapeDtypeStruct((1, 3 * emb), f32),
+                   jax.ShapeDtypeStruct((dim, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((1, 2 * emb), f32),
                    jax.ShapeDtypeStruct((emb, emb), f32),
                    jax.ShapeDtypeStruct((1, emb), f32),
                    jax.ShapeDtypeStruct((1, emb), f32),
@@ -493,14 +497,14 @@ def _call_bwd1(x, args, kptv, kpsum, dout, bg, tile, dtype, interpret,
                    jax.ShapeDtypeStruct((emb, emb), f32),
                    jax.ShapeDtypeStruct((1, emb), f32)),
         interpret=interpret,
-    )(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+    )(x, ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b,
       wfc1, bfc1, wfc2, bfc2, kptv, kpsum, dout)
 
 
-def _call_bwd2(x, ln1g, ln1b, wkqv, bkqv, w, fmask, dkptv, dkpsum, bg,
+def _call_bwd2(x, ln1g, ln1b, wkv, bkv, w, fmask, dkptv, dkpsum, bg,
                tile, dtype, interpret, fcount):
     b, n, dim = x.shape
-    emb = wkqv.shape[1] // 3
+    emb = wkv.shape[1] // 2
     m = w.shape[0]
     xspec, wspec, bspec = _specs(bg, tile, dim, interpret)
     f32 = jnp.float32
@@ -515,18 +519,18 @@ def _call_bwd2(x, ln1g, ln1b, wkqv, bkqv, w, fmask, dkptv, dkpsum, bg,
                           dtype=dtype, fcount=fcount),
         grid=(b // bg, n // tile),
         in_specs=[xspec, wspec((dim,)), wspec((dim,)),
-                  wspec((dim, 3 * emb)), wspec((3 * emb,)), wspec((m, emb)),
+                  wspec((dim, 2 * emb)), wspec((2 * emb,)), wspec((m, emb)),
                   wspec((dim,)),
                   bspec((emb, m)), bspec((1, m))],
         out_specs=(xspec, acc((1, dim)), acc((1, dim)),
-                   acc((dim, 3 * emb)), acc((1, 3 * emb))),
+                   acc((dim, 2 * emb)), acc((1, 2 * emb))),
         out_shape=(jax.ShapeDtypeStruct((b, n, dim), x.dtype),
                    jax.ShapeDtypeStruct((1, dim), f32),
                    jax.ShapeDtypeStruct((1, dim), f32),
-                   jax.ShapeDtypeStruct((dim, 3 * emb), f32),
-                   jax.ShapeDtypeStruct((1, 3 * emb), f32)),
+                   jax.ShapeDtypeStruct((dim, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((1, 2 * emb), f32)),
         interpret=interpret,
-    )(x, ln1g, ln1b, wkqv, bkqv, w, fmask, dkptv, dkpsum)
+    )(x, ln1g, ln1b, wkv, bkv, w, fmask, dkptv, dkpsum)
 
 
 # ---------------------------------------------------------------------------
@@ -534,14 +538,25 @@ def _call_bwd2(x, ln1g, ln1b, wkqv, bkqv, w, fmask, dkptv, dkpsum, bg,
 # ---------------------------------------------------------------------------
 
 
+def _split_kqv(wkqv, bkqv):
+    """[dim, 3e] -> ([k|v], [q|v]) two-column blocks: each is exactly one
+    MXU lane tile at emb=64, and each kernel projects a third less than
+    the full kqv.  q|v is a contiguous slice; k|v needs one concat."""
+    emb = wkqv.shape[1] // 3
+    wkv = jnp.concatenate([wkqv[:, :emb], wkqv[:, 2 * emb:]], axis=1)
+    bkv = jnp.concatenate([bkqv[:emb], bkqv[2 * emb:]])
+    return wkv, bkv, wkqv[:, emb:], bkqv[emb:]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
 def _fused_performer(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj,
                      ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, bg, tile,
                      interpret, fcount):
     dtype = x.dtype
-    args = (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+    wkv, bkv, wqv, bqv = _split_kqv(wkqv, bkqv)
+    args = (ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b,
             wfc1, bfc1, wfc2, bfc2)
-    kptv, kpsum = _call_sums(x, ln1g, ln1b, wkqv, bkqv, w, fmask, bg,
+    kptv, kpsum = _call_sums(x, ln1g, ln1b, wkv, bkv, w, fmask, bg,
                              tile, dtype, interpret, fcount)
     return _call_apply(x, args, kptv, kpsum, bg, tile, dtype, interpret,
                        fcount)
@@ -550,33 +565,47 @@ def _fused_performer(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj,
 def _fused_performer_fwd(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj,
                          bproj, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, bg,
                          tile, interpret, fcount):
-    out = _fused_performer(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj,
-                           bproj, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, bg,
-                           tile, interpret, fcount)
+    dtype = x.dtype
+    wkv, bkv, wqv, bqv = _split_kqv(wkqv, bkqv)
+    args = (ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b,
+            wfc1, bfc1, wfc2, bfc2)
+    kptv, kpsum = _call_sums(x, ln1g, ln1b, wkv, bkv, w, fmask, bg,
+                             tile, dtype, interpret, fcount)
+    out = _call_apply(x, args, kptv, kpsum, bg, tile, dtype, interpret,
+                      fcount)
+    # kptv/kpsum ride along as residuals ([B, emb, m] f32 — a few MB):
+    # the backward previously re-ran the whole sums pass (LN + k|v matmul
+    # + prm over every token tile) to rebuild them
     return out, (x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g,
-                 ln2b, wfc1, bfc1, wfc2, bfc2)
+                 ln2b, wfc1, bfc1, wfc2, bfc2, kptv, kpsum)
 
 
 def _fused_performer_bwd(bg, tile, interpret, fcount, res, dout):
     (x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
-     bfc1, wfc2, bfc2) = res
+     bfc1, wfc2, bfc2, kptv, kpsum) = res
     dtype = x.dtype
-    args = (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+    emb = wkqv.shape[1] // 3
+    wkv, bkv, wqv, bqv = _split_kqv(wkqv, bkqv)
+    args = (ln1g, ln1b, wqv, bqv, w, fmask, wproj, bproj, ln2g, ln2b,
             wfc1, bfc1, wfc2, bfc2)
-    kptv, kpsum = _call_sums(x, ln1g, ln1b, wkqv, bkqv, w, fmask, bg,
-                             tile, dtype, interpret, fcount)
-    (dx1, dkptv, dkpsum, dg1a, db1a, dwkqv1, dbkqv1, dwproj, dbproj,
+    (dx1, dkptv, dkpsum, dg1a, db1a, dwqv, dbqv, dwproj, dbproj,
      dg2, db2, dwfc1, dbfc1, dwfc2, dbfc2) = _call_bwd1(
         x, args, kptv, kpsum, dout, bg, tile, dtype, interpret, fcount)
-    dx2, dg1b, db1b, dwkqv2, dbkqv2 = _call_bwd2(
-        x, ln1g, ln1b, wkqv, bkqv, w, fmask, dkptv, dkpsum, bg, tile,
+    dx2, dg1b, db1b, dwkv, dbkv = _call_bwd2(
+        x, ln1g, ln1b, wkv, bkv, w, fmask, dkptv, dkpsum, bg, tile,
         dtype, interpret, fcount)
+    # reassemble the full kqv grads: k from B2, q from B1, v from both
+    dwkqv = jnp.concatenate(
+        [dwkv[:, :emb], dwqv[:, :emb], dwqv[:, emb:] + dwkv[:, emb:]],
+        axis=1)
+    dbkqv = jnp.concatenate(
+        [dbkv[0, :emb], dbqv[0, :emb], dbqv[0, emb:] + dbkv[0, emb:]])
     return (
         (dx1 + dx2).astype(x.dtype),
         (dg1a + dg1b)[0].astype(ln1g.dtype),
         (db1a + db1b)[0].astype(ln1b.dtype),
-        (dwkqv1 + dwkqv2).astype(wkqv.dtype),
-        (dbkqv1 + dbkqv2)[0].astype(bkqv.dtype),
+        dwkqv.astype(wkqv.dtype),
+        dbkqv.astype(bkqv.dtype),
         jnp.zeros_like(w),        # prm_w frozen (requires_grad=False)
         jnp.zeros_like(fmask),    # constant slot mask
         dwproj.astype(wproj.dtype),
