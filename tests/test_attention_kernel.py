@@ -267,3 +267,78 @@ def test_fused_layer_ln_wide_fallback_vjp():
                             "dbproj", "dmask"], gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# LN-fused MLP sublayer (LN2 + fc1 + GELU + mask + fc2 + residual)
+# ---------------------------------------------------------------------------
+
+
+def _mlp_inputs(b=2, n=12, d=16, f=32, w_scale=0.1):
+    # w_scale keeps activations O(1): the kernel runs its matmul inputs
+    # in bf16 (training numerics) while the f32 oracle does not, so
+    # badly-scaled wide shapes amplify that rounding past the tolerance
+    ks = jax.random.split(jax.random.PRNGKey(21), 8)
+    x = jax.random.normal(ks[0], (b, n, d))
+    g2 = 1.0 + 0.1 * jax.random.normal(ks[1], (d,))
+    b2 = 0.1 * jax.random.normal(ks[2], (d,))
+    wfc1 = jax.random.normal(ks[3], (d, f)) * w_scale
+    bfc1 = jax.random.normal(ks[4], (f,)) * w_scale
+    wfc2 = jax.random.normal(ks[5], (f, d)) * w_scale
+    bfc2 = jax.random.normal(ks[6], (d,)) * w_scale
+    mask = (jax.random.uniform(ks[7], (f,)) > 0.3).astype(jnp.float32)
+    return x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask
+
+
+def test_fused_mlp_ln_fwd_matches_composition():
+    from uvc_tpu.ops.mlp import _composed_mlp_ln, fused_mlp_ln
+    args = _mlp_inputs()
+    ref = _composed_mlp_ln(*args, 1e-6)
+    out = fused_mlp_ln(*args, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_mlp_ln_vjp_matches_composition():
+    """All eight grads of the LN-fused MLP backward kernel vs autodiff
+    through the XLA composition (incl. the structural-mask grad that
+    feeds the UVC score path and the residual term in dx)."""
+    from uvc_tpu.ops.mlp import _composed_mlp_ln, fused_mlp_ln
+    args = _mlp_inputs()
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_mlp_ln(*a, 1e-6) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp_ln(*a, eps=1e-6, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for name, a, b_ in zip(["dx", "dg2", "db2", "dwfc1", "dbfc1", "dwfc2",
+                            "dbfc2", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_fused_mlp_ln_wide_fallback_vjp():
+    """Widths whose f32 accumulators overflow VMEM route through plain
+    autodiff of the composition — grads must still match."""
+    from uvc_tpu.ops.mlp import (_composed_mlp_ln, _mlp_bwd_group,
+                                 _pad_rows, fused_mlp_ln)
+    b, n, d, f = 1, 12, 768, 3072
+    assert _mlp_bwd_group(b, d, f, _pad_rows(n)) is None, \
+        "expected the fallback path at d=768/f=3072"
+    args = _mlp_inputs(b, n, d, f, w_scale=0.02)
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_mlp_ln(*a, 1e-6) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp_ln(*a, eps=1e-6, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for name, a, b_ in zip(["dx", "dg2", "db2", "dwfc1", "dbfc1", "dwfc2",
+                            "dbfc2", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -31,6 +32,9 @@ from jax.ad_checkpoint import checkpoint_name
 
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.ops.gumbel import gumbel_topk_mask
+
+# A/B switch for the fused MLP sublayer kernel (read once at trace time)
+_FUSED_MLP = os.environ.get("UVC_FUSED_MLP", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -178,13 +182,29 @@ def _attention_ln(x, blk, num_heads, scale, attn_mask_row, eps, dtype):
         num_heads=num_heads, scale=scale, eps=eps)
 
 
+def _mlp_ln(x, blk, mlp_mask_row, eps, dtype):
+    """x + mlp_sublayer(LN2(x)) as ONE fused Pallas program each way
+    (ops/mlp.py): after the attention sublayer fused, the MLP's hidden
+    round trips + LN2 + residual were the block's HBM-traffic leader.
+    A/B: set UVC_FUSED_MLP=0 to restore the XLA composition (a round-1
+    fc1/gelu/fc2-only fusion measured -5%; this version also absorbs
+    LN2, the mask, the residual, and the backward — re-measured on-chip
+    per round)."""
+    from uvc_tpu.ops.mlp import mlp_ln
+    f = blk["fc1"]["kernel"].shape[-1]
+    mask = mlp_mask_row.astype(dtype) if mlp_mask_row is not None \
+        else jnp.ones((f,), dtype)
+    return mlp_ln(
+        x, blk["ln2"]["scale"], blk["ln2"]["bias"],
+        blk["fc1"]["kernel"].astype(dtype),
+        blk["fc1"]["bias"].astype(dtype),
+        blk["fc2"]["kernel"].astype(dtype),
+        blk["fc2"]["bias"].astype(dtype), mask, eps=eps)
+
+
 def _mlp(x, blk, mlp_mask_row, dtype):
-    # NOTE: a fused fc1/gelu/fc2 Pallas kernel was measured SLOWER here
-    # (-5% step): splitting XLA's single [B*N, D] matmul into per-program
-    # tiles costs more MXU efficiency than the saved HBM round trip of the
-    # hidden activations. The attention sublayer fuses (ops/attention.py
-    # fused_layer_attention) because its per-head compute is small and
-    # VPU-bound; the MLP is left to XLA.
+    # XLA-composed MLP branch (part-gating / drop-path variants and the
+    # UVC_FUSED_MLP=0 A/B path; the default route is _mlp_ln above).
     h = (x @ blk["fc1"]["kernel"].astype(dtype)
          + blk["fc1"]["bias"].astype(dtype))
     # NOTE: name-saving the pre-GELU hidden here (so the replay skips the
@@ -404,16 +424,20 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                          + a_d[1].astype(dtype) * a_out)
                 else:
                     z = z + a_out
-            m_in = _layer_norm(z, blk["ln2"]["scale"], blk["ln2"]["bias"], eps)
-            m_out = _mlp(m_in, blk, mlp_m, dtype)
-            if use_dp:
-                m_out = drop_path(m_out, jax.random.fold_in(dp_key, 1),
-                                  dp_rate.astype(jnp.float32))
-            if m_d is not None:
-                z = (m_d[0].astype(dtype) * z
-                     + m_d[1].astype(dtype) * m_out)
+            if m_d is None and not use_dp and _FUSED_MLP:
+                z = _mlp_ln(z, blk, mlp_m, eps, dtype)
             else:
-                z = z + m_out
+                m_in = _layer_norm(z, blk["ln2"]["scale"],
+                                   blk["ln2"]["bias"], eps)
+                m_out = _mlp(m_in, blk, mlp_m, dtype)
+                if use_dp:
+                    m_out = drop_path(m_out, jax.random.fold_in(dp_key, 1),
+                                      dp_rate.astype(jnp.float32))
+                if m_d is not None:
+                    z = (m_d[0].astype(dtype) * z
+                         + m_d[1].astype(dtype) * m_out)
+                else:
+                    z = z + m_out
             return z
 
         out = run_block(h)
