@@ -342,3 +342,36 @@ def test_fused_mlp_ln_wide_fallback_vjp():
                             "dbfc2", "dmask"], gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_remat_replay_dces_forward_kernels():
+    """The perf-critical remat invariant: under the block scan's
+    save_only_these_names("attn_out") policy with BOTH sublayers as
+    custom-VJP Pallas ops, a value-and-grad trace must contain exactly
+    4 kernel calls per block — attn fwd, mlp fwd, mlp bwd, attn bwd —
+    i.e. the backward replay's forward kernels are dead code and DCE'd
+    (previously only checkable by counting tpu_custom_calls in on-chip
+    HLO, per CLAUDE.md)."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+    from uvc_tpu.ops import attention as attn_mod
+
+    cfg = get_config("testing").replace(depth=2)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.seq_len, cfg.embed_dim))
+
+    old = attn_mod._FORCE_FUSED_INTERPRET
+    attn_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        def loss(p):
+            return jnp.sum(vit.transformer_encode(p, x, cfg) ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.value_and_grad(loss))(params)
+    finally:
+        attn_mod._FORCE_FUSED_INTERPRET = old
+    n_calls = str(jaxpr).count("pallas_call")
+    # scan-stacked: the 2-block loop traces each kernel ONCE inside the
+    # scan body; fwd scan has 2 kernels, bwd scan has 2 bwd kernels, and
+    # the replayed fwd kernels must be DCE'd (6 would mean they are not)
+    assert n_calls == 4, f"expected 4 pallas calls in the trace, got {n_calls}"

@@ -27,12 +27,18 @@ code path (SURVEY.md §4 test strategy).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# test hook: route the CPU dispatch to the fused kernels in interpret
+# mode (lets CPU tests trace the exact kernel graph, e.g. to assert the
+# remat replay DCEs the forward kernels); monkeypatched by tests
+_FORCE_FUSED_INTERPRET = os.environ.get("UVC_FORCE_FUSED", "0") == "1"
 
 
 def _pad_len(n: int) -> int:
@@ -1006,6 +1012,10 @@ def layer_attention_ln(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, *,
                        num_heads: int, scale: float, eps: float):
     """Backend dispatch for the LN-fused residual attention sublayer."""
     if jax.default_backend() == "cpu":
+        if _FORCE_FUSED_INTERPRET:
+            return fused_layer_attention_ln(
+                x, g1, b1, wqkv, bqkv, wproj, bproj, mask,
+                num_heads=num_heads, scale=scale, eps=eps, interpret=True)
         x32 = x.astype(jnp.float32)
         a_in, _, _ = _ln_rows(x32, g1.astype(jnp.float32),
                               b1.astype(jnp.float32), eps)

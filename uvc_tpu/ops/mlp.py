@@ -295,6 +295,10 @@ def mlp_ln(x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask, *, eps: float):
     """Backend dispatch: fused Pallas program on accelerators, XLA
     composition on CPU."""
     if jax.default_backend() == "cpu":
+        from uvc_tpu.ops import attention as _attn
+        if _attn._FORCE_FUSED_INTERPRET:
+            return fused_mlp_ln(x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask,
+                                eps=eps, interpret=True)
         return _composed_mlp_ln(x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask,
                                 eps)
     return fused_mlp_ln(x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask, eps=eps)
