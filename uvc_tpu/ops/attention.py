@@ -309,7 +309,7 @@ def attention_core(q, k, v, scale: float) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _layer_group(b: int, d: int, np_: int) -> int:
+def _layer_group(b: int, d: int, np_: int, ln: bool = False) -> int:
     """VMEM budget for the layer kernel: x/out blocks scale with group,
     weights (wqkv + wproj ~ 4*d*d*2B) are resident once."""
     weights = 4 * d * d * 2
@@ -323,6 +323,10 @@ def _layer_group(b: int, d: int, np_: int) -> int:
         # qkv + ctx live for the whole group (flattened matmuls) + f32
         # logits temporaries
         scratch = g * np_ * 4 * d * 2 + np_ * np_ * 4 * 2
+        if ln:
+            # the LN-fused forward also keeps the f32 x copy (residual +
+            # LN statistics) for the whole group
+            scratch += g * np_ * d * 4
         if weights + blocks + scratch < 12 * 1024 * 1024:
             return g
     return 1
@@ -881,7 +885,7 @@ def _call_layer_ln_fwd(x, g1, b1, wqkv, bqkv, wproj, bproj, mask, scale,
                        n_valid, num_heads, eps, interpret=False):
     b, np_, dm = x.shape
     da = wqkv.shape[1] // 3
-    g = _layer_group(b, max(dm, da), np_)
+    g = _layer_group(b, max(dm, da), np_, ln=True)
     mspace = pl.ANY if interpret else pltpu.VMEM
     xspec = pl.BlockSpec((g, np_, dm), lambda i: (i, 0, 0),
                          memory_space=mspace)
