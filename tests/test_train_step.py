@@ -451,3 +451,39 @@ def test_stage2_step_uses_sched_lr():
     _, m = step(state, params, masks, x, y, jax.random.PRNGKey(2))
     # epoch 0 of 10, no warmup: lr = min + (base-min)/2 * (1+cos(0)) = base
     np.testing.assert_allclose(float(m["lr"]), thp.learning_rate, rtol=1e-6)
+
+
+def test_opt_sgd_matches_torch():
+    """--opt sgd/momentum (stage-2 timm create_optimizer surface,
+    post_train.py:455-466): one step must match torch.optim.SGD with
+    coupled weight decay (timm 'sgd' = nesterov, 'momentum' = plain)."""
+    import torch
+
+    from uvc_tpu.train.state import TrainHParams, make_weight_optimizer
+
+    w0 = np.linspace(-1.0, 1.0, 12).astype(np.float32)
+    g0 = np.linspace(0.5, -0.7, 12).astype(np.float32)
+    for opt_name, nesterov in [("sgd", True), ("momentum", False)]:
+        thp = TrainHParams(learning_rate=0.1, weight_decay=0.05,
+                           warmup_steps=0, t_total=10, opt=opt_name,
+                           momentum=0.9, sched="step", min_lr=0.1,
+                           steps_per_epoch=1, warmup_epochs=0,
+                           decay_epochs=100)
+        tx = make_weight_optimizer(thp)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        new = params
+        for _ in range(3):   # momentum buffer engages from step 2
+            updates, state = tx.update({"w": jnp.asarray(g0)}, state, new)
+            new = jax.tree.map(lambda p, u: p + u, new, updates)
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.SGD([tw], lr=0.1, momentum=0.9,
+                               weight_decay=0.05, nesterov=nesterov)
+        for _ in range(3):
+            topt.zero_grad()
+            tw.grad = torch.tensor(g0)
+            topt.step()
+        np.testing.assert_allclose(np.asarray(new["w"]),
+                                   tw.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6, err_msg=opt_name)

@@ -187,6 +187,14 @@ def add_stage2_flags(p: argparse.ArgumentParser) -> None:
                    type=int, help="INERT (plateau sched not selectable)")
     p.add_argument("--lr-noise", dest="lr_noise", type=float, nargs="+",
                    default=None, help="INERT (timm lr noise not replicated)")
+    # timm create_optimizer surface (post_train.py:455-466)
+    p.add_argument("--opt", default="adamw",
+                   choices=["adamw", "sgd", "momentum"],
+                   help="weight optimizer family (timm create_optimizer)")
+    p.add_argument("--opt-eps", dest="opt_eps", default=1e-8, type=float)
+    p.add_argument("--opt-betas", dest="opt_betas", type=float, nargs="+",
+                   default=None)
+    p.add_argument("--momentum", default=0.9, type=float)
 
 
 def to_hparams(args) -> MinimaxHParams:
@@ -248,6 +256,11 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
         decay_epochs=getattr(args, "decay_epochs", 30.0),
         decay_rate=getattr(args, "decay_rate", 0.1),
         steps_per_epoch=steps_per_epoch // gas,
+        opt=getattr(args, "opt", "adamw"),
+        opt_eps=getattr(args, "opt_eps", 1e-8),
+        opt_betas=(tuple(args.opt_betas)
+                   if getattr(args, "opt_betas", None) else None),
+        momentum=getattr(args, "momentum", 0.9),
         compute_dtype=jnp.bfloat16)
 
 

@@ -55,6 +55,11 @@ class TrainHParams:
     decay_epochs: float = 30.0
     decay_rate: float = 0.1
     steps_per_epoch: int = 0             # epoch granularity for ``sched``
+    # stage-2 timm create_optimizer surface (post_train.py:455-466)
+    opt: str = "adamw"                   # adamw | sgd | momentum
+    opt_eps: float = 1e-8
+    opt_betas: object = None             # optional (b1, b2)
+    momentum: float = 0.9
     # numerics
     compute_dtype: Any = jnp.bfloat16
 
@@ -98,9 +103,21 @@ def make_weight_optimizer(thp: TrainHParams,
     ``lr_fn`` overrides the schedule (must be a callable so the optax
     state structure stays identical across phase variants) — used for the
     constant ``warmup_lr`` during UVC warmup epochs (joint_train.py:351).
+
+    ``thp.opt`` selects the optimizer family, mirroring stage-2's timm
+    create_optimizer surface (post_train.py:455-466): adamw (default),
+    or sgd/momentum (heavyball SGD with coupled weight decay, the timm
+    'momentum'/'sgd' variants — timm sgd uses nesterov, momentum not).
     """
-    return optax.adamw(lr_fn or thp.lr_schedule(), b1=0.9, b2=0.999,
-                       eps=1e-8, weight_decay=thp.weight_decay)
+    lr = lr_fn or thp.lr_schedule()
+    if thp.opt in ("sgd", "momentum"):
+        return optax.chain(
+            optax.add_decayed_weights(thp.weight_decay),
+            optax.sgd(lr, momentum=thp.momentum,
+                      nesterov=thp.opt == "sgd"))
+    b1, b2 = thp.opt_betas or (0.9, 0.999)
+    return optax.adamw(lr, b1=b1, b2=b2, eps=thp.opt_eps,
+                       weight_decay=thp.weight_decay)
 
 
 def zero_frozen_updates(updates):
