@@ -321,8 +321,10 @@ def test_fused_mlp_ln_vjp_matches_composition():
 
 
 def test_fused_mlp_ln_wide_fallback_vjp():
-    """Widths whose f32 accumulators overflow VMEM route through plain
-    autodiff of the composition — grads must still match."""
+    """Widths whose f32 accumulators overflow VMEM route through the
+    hidden-group-split backward (per-group fc1 columns / fc2 rows, LN vjp
+    summed, residual added once) — grads must still match autodiff of
+    the composition."""
     from uvc_tpu.ops.mlp import (_composed_mlp_ln, _mlp_bwd_group,
                                  _pad_rows, fused_mlp_ln)
     b, n, d, f = 1, 12, 768, 3072
@@ -338,10 +340,12 @@ def test_fused_mlp_ln_wide_fallback_vjp():
 
     gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
     gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    # atol slightly above the small-shape tests: bf16 kernel matmuls vs
+    # the f32 oracle accumulate ~sqrt(f)=55x more rounding at f=3072
     for name, a, b_ in zip(["dx", "dg2", "db2", "dwfc1", "dbfc1", "dwfc2",
                             "dbfc2", "dmask"], gr, gf):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
-                                   rtol=5e-2, atol=5e-2, err_msg=name)
+                                   rtol=5e-2, atol=1e-1, err_msg=name)
 
 
 def test_remat_replay_dces_forward_kernels():

@@ -872,7 +872,9 @@ def _layer_ln_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
                + np_ * d * 10
                + 3 * np_ * np_ * 4
                + 4 * np_ * d * 4)              # LN f32 temporaries
-    for g in (4, 2, 1):
+    # g=8 reachable for narrow widths (DeiT-Tiny) — halves the number of
+    # sequential grid steps over the accumulators
+    for g in (8, 4, 2, 1):
         if b % g:
             continue
         blocks = 3 * g * np_ * d * 2 * 2

@@ -90,7 +90,8 @@ def _mlp_ln_fwd_kernel(x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref,
 def _mlp_ln_bwd_kernel(x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref,
                        mask_ref, do_ref, dx_ref, dg2_ref, db2_ref,
                        dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref,
-                       dmask_ref, *, group: int, eps: float):
+                       dmask_ref, *, group: int, eps: float,
+                       add_residual: bool = True):
     np_ = x_ref.shape[-2]
     dm = x_ref.shape[-1]
 
@@ -135,7 +136,10 @@ def _mlp_ln_bwd_kernel(x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref,
         m1 = jnp.mean(dg, axis=-1, keepdims=True)
         m2 = jnp.mean(dg * xhat, axis=-1, keepdims=True)
         dz = (dg - m1 - xhat * m2) * inv
-        dx_ref[g] = (dz + do32).astype(dx_ref.dtype)
+        # hidden-split calls add the residual in part 0 only (the LN vjp
+        # is linear in dmi, so per-group dz sums exactly)
+        dx_ref[g] = ((dz + do32) if add_residual else dz) \
+            .astype(dx_ref.dtype)
         dg2_ref[...] += jnp.sum(dmi * xhat, axis=0, keepdims=True)
         db2_ref[...] += jnp.sum(dmi, axis=0, keepdims=True)
 
@@ -155,7 +159,7 @@ def _mlp_fwd_group(b: int, dm: int, f: int, np_: int) -> int:
 def _mlp_bwd_group(b: int, dm: int, f: int, np_: int) -> Optional[int]:
     weights = 2 * dm * f * 2
     accums = 2 * dm * f * 4 + (2 * dm + 2 * f) * 4
-    for g in (4, 2, 1):
+    for g in (8, 4, 2, 1):
         if b % g:
             continue
         blocks = 3 * g * np_ * dm * 2 * 2          # x, do, dx
@@ -193,7 +197,7 @@ def _call_mlp_fwd(x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask, eps,
 
 
 def _call_mlp_bwd(x, g2, b2, wfc1, bfc1, wfc2, mask, do, eps, g,
-                  interpret=False):
+                  interpret=False, add_residual=True):
     b, np_, dm = x.shape
     f = wfc1.shape[1]
     mspace = pl.ANY if interpret else pltpu.VMEM
@@ -208,7 +212,8 @@ def _call_mlp_bwd(x, g2, b2, wfc1, bfc1, wfc2, mask, do, eps, g,
     # constant-index_map accumulators over a sequential grid (see
     # ops/attention.py _call_layer_bwd) — do NOT mark the grid parallel
     return pl.pallas_call(
-        functools.partial(_mlp_ln_bwd_kernel, group=g, eps=eps),
+        functools.partial(_mlp_ln_bwd_kernel, group=g, eps=eps,
+                          add_residual=add_residual),
         grid=(b // g,),
         in_specs=[xspec, cspec((dm,)), cspec((dm,)), cspec((dm, f)),
                   cspec((f,)), cspec((f, dm)), cspec((f,)), xspec],
@@ -258,20 +263,56 @@ def _fused_mlp_ln_bwd(eps, interpret, res, dout):
     b, np_, dm = x.shape
     f = wfc1.shape[1]
     g = _mlp_bwd_group(b, dm, f, np_)
-    if g is None:
-        # widths whose accumulators overflow VMEM: plain autodiff through
-        # the XLA composition (reads the recomputed hidden from HBM — the
-        # cost this kernel exists to avoid, acceptable for rare widths)
+    if g is not None:
+        dx, dg2, db2, dwfc1, dbfc1, dwfc2, dbfc2, dmask = _call_mlp_bwd(
+            x, g2, b2, wfc1, bfc1, wfc2, mask, dout, eps, g, interpret)
+        return (dx, dg2[0].astype(g2.dtype), db2[0].astype(b2.dtype),
+                dwfc1.astype(wfc1.dtype), dbfc1[0].astype(bfc1.dtype),
+                dwfc2.astype(wfc2.dtype), dbfc2[0].astype(bfc2.dtype),
+                dmask[0].astype(mask.dtype))
+    # hidden-group split: the backward decomposes exactly by hidden units
+    # (fc1 columns / fc2 rows / mask slices partition; dmi and the LN vjp
+    # are linear in the per-group contributions) with NO duplicated
+    # matmul work — each group projects only its own fc1 columns; only
+    # the LN recompute and the x/do block reads repeat per group.  This
+    # is how DeiT-Small (f=1536: accums+scratch overflow the unsplit
+    # budget) and DeiT-Base (f=3072) keep the fused backward.
+    for ng in (2, 4, 8):
+        if f % ng == 0 and (f // ng) % 128 == 0:
+            gi = _mlp_bwd_group(b, dm, f // ng, np_)
+            if gi is not None:
+                break
+    else:
+        gi = None
+    if gi is None:
+        # last resort: plain autodiff through the XLA composition
         _, vjp = jax.vjp(
             lambda *a: _composed_mlp_ln(*a, eps), x, g2, b2, wfc1, bfc1,
             wfc2, bfc2, mask)
         return vjp(dout)
-    dx, dg2, db2, dwfc1, dbfc1, dwfc2, dbfc2, dmask = _call_mlp_bwd(
-        x, g2, b2, wfc1, bfc1, wfc2, mask, dout, eps, g, interpret)
-    return (dx, dg2[0].astype(g2.dtype), db2[0].astype(b2.dtype),
-            dwfc1.astype(wfc1.dtype), dbfc1[0].astype(bfc1.dtype),
-            dwfc2.astype(wfc2.dtype), dbfc2[0].astype(bfc2.dtype),
-            dmask[0].astype(mask.dtype))
+    fg = f // ng
+    parts = []
+    for i in range(ng):
+        lo, hi = i * fg, (i + 1) * fg
+        parts.append(_call_mlp_bwd(
+            x, g2, b2, wfc1[:, lo:hi], bfc1[lo:hi], wfc2[lo:hi, :],
+            mask[lo:hi], dout, eps, gi, interpret,
+            add_residual=(i == 0)))
+    dx = parts[0][0]
+    dg2 = parts[0][1]
+    db2 = parts[0][2]
+    for p in parts[1:]:
+        dx = dx + p[0]
+        dg2 = dg2 + p[1]
+        db2 = db2 + p[2]
+    dwfc1 = jnp.concatenate([p[3] for p in parts], axis=1)
+    dbfc1 = jnp.concatenate([p[4][0] for p in parts])
+    dwfc2 = jnp.concatenate([p[5] for p in parts], axis=0)
+    dmask = jnp.concatenate([p[7][0] for p in parts])
+    return (dx.astype(x.dtype), dg2[0].astype(g2.dtype),
+            db2[0].astype(b2.dtype), dwfc1.astype(wfc1.dtype),
+            dbfc1.astype(bfc1.dtype), dwfc2.astype(wfc2.dtype),
+            parts[0][6][0].astype(bfc2.dtype), dmask.astype(mask.dtype))
 
 
 _fused_mlp_ln.defvjp(_fused_mlp_ln_fwd, _fused_mlp_ln_bwd)
