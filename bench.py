@@ -108,7 +108,28 @@ def bench_model(config_name, batch, steps, *, on_tpu):
             float(jax.device_get(m["loss"].ravel()[-1]))
         return state
 
-    state = run_once(state, key)
+    try:
+        state = run_once(state, key)     # compile + warm
+        fallback = False
+    except Exception as e:               # noqa: BLE001
+        # the round-3 LN-fused kernels are interpret-tested but compile
+        # on the real chip for the first time here — if Mosaic rejects
+        # them, fall back to the round-2-proven separate-LN kernels so
+        # the round still records a benchmark
+        import sys
+
+        from uvc_tpu.models import vit as vit_mod
+        print(f"fused-kernel compile failed ({type(e).__name__}); "
+              f"falling back to round-2 kernels", file=sys.stderr)
+        vit_mod._FUSED_MLP = False
+        vit_mod._FUSED_ATTN_LN = False
+        step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                 donate=False, bundle=bundle)
+        state = create_train_state(
+            model.init_params(jax.random.PRNGKey(0), cfg), thp,
+            init_compression_state(cfg, hp))
+        state = run_once(state, key)
+        fallback = True
     t0 = time.perf_counter()
     for i in range(steps // bundle):
         key, sub = jax.random.split(key)
@@ -121,11 +142,14 @@ def bench_model(config_name, batch, steps, *, on_tpu):
     step_flops_per_img = 4.0 * fwd_flops           # 3x student + 1x teacher
     mfu = img_per_sec * step_flops_per_img / PEAK_FLOPS
     baseline = REFERENCE_BASE_IMG_PER_SEC_PER_GPU * 35126.12e6 / fwd_flops
-    return {
+    out = {
         "img_per_sec": round(img_per_sec, 2),
         "vs_baseline": round(img_per_sec / baseline, 3),
         "mfu": round(mfu, 4),
     }
+    if fallback:
+        out["kernel_fallback"] = True
+    return out
 
 
 def bench_serving(on_tpu):

@@ -33,8 +33,11 @@ from jax.ad_checkpoint import checkpoint_name
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.ops.gumbel import gumbel_topk_mask
 
-# A/B switch for the fused MLP sublayer kernel (read once at trace time)
+# A/B switches for the round-3 fused sublayer kernels (module globals,
+# read at trace time — bench.py flips them as a compile-failure fallback
+# to the round-2-proven separate-LN kernels)
 _FUSED_MLP = os.environ.get("UVC_FUSED_MLP", "1") != "0"
+_FUSED_ATTN_LN = os.environ.get("UVC_FUSED_ATTN_LN", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +400,7 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
         blk, distrib, a_d, m_d, attn_m, mlp_m, dp_key, dp_rate = inp
 
         def run_block(z):
-            if a_d is None and not use_dp:
+            if a_d is None and not use_dp and _FUSED_ATTN_LN:
                 # LN1 + sublayer + residual as one fused program; the remat
                 # name moves to the post-residual sum, so the backward
                 # replay skips the attention sublayer AND the residual add
