@@ -129,7 +129,6 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
     *selection* is identical to the deterministic eval mask
     (ops/gumbel.py topk_token_mask).  ViT family only (T2T's UVC path
     has no token selection)."""
-    from uvc_tpu.ops.attention import layer_attention
     eps = cfg.layer_norm_eps
     b = x.shape[0]
     if cfg.tokens_type != "none":
@@ -176,27 +175,34 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
             t = jnp.concatenate(tokens + [t], axis=1)
             t = t + jnp.asarray(top["pos_embed"]).astype(dtype)
 
+    from uvc_tpu.ops.attention import layer_attention_ln
+    from uvc_tpu.ops.mlp import mlp_ln
+
     scale = cfg.head_size ** -0.5
     for blk in layers:
         hk = blk["num_heads"]
-        z = _layer_norm(t, jnp.asarray(blk["ln1"]["scale"]),
-                        jnp.asarray(blk["ln1"]["bias"]), eps)
         da = blk["proj"]["kernel"].shape[0]
-        # one fused program per layer (rectangular model/attention widths;
-        # the within-head vmask is folded into proj rows at compaction)
-        t = t + layer_attention(
-            z, jnp.asarray(blk["qkv"]["kernel"]).astype(dtype),
+        fk = blk["fc1"]["kernel"].shape[1]
+        # the same LN-fused sublayer programs the training path uses —
+        # their FORWARD kernels support rectangular widths (only the
+        # backward is square-only, and serving never differentiates);
+        # the within-head vmask is folded into proj rows at compaction
+        t = layer_attention_ln(
+            t, jnp.asarray(blk["ln1"]["scale"]),
+            jnp.asarray(blk["ln1"]["bias"]),
+            jnp.asarray(blk["qkv"]["kernel"]).astype(dtype),
             jnp.asarray(blk["qkv"]["bias"]).astype(dtype),
             jnp.asarray(blk["proj"]["kernel"]).astype(dtype),
             jnp.asarray(blk["proj"]["bias"]).astype(dtype),
-            jnp.ones((da,), dtype), num_heads=hk, scale=scale)
-        z = _layer_norm(t, jnp.asarray(blk["ln2"]["scale"]),
-                        jnp.asarray(blk["ln2"]["bias"]), eps)
-        hdn = (z @ jnp.asarray(blk["fc1"]["kernel"]).astype(dtype)
-               + jnp.asarray(blk["fc1"]["bias"]).astype(dtype))
-        hdn = jax.nn.gelu(hdn, approximate=False)
-        t = t + (hdn @ jnp.asarray(blk["fc2"]["kernel"]).astype(dtype)
-                 + jnp.asarray(blk["fc2"]["bias"]).astype(dtype))
+            jnp.ones((da,), dtype), num_heads=hk, scale=scale, eps=eps)
+        t = mlp_ln(
+            t, jnp.asarray(blk["ln2"]["scale"]),
+            jnp.asarray(blk["ln2"]["bias"]),
+            jnp.asarray(blk["fc1"]["kernel"]).astype(dtype),
+            jnp.asarray(blk["fc1"]["bias"]).astype(dtype),
+            jnp.asarray(blk["fc2"]["kernel"]).astype(dtype),
+            jnp.asarray(blk["fc2"]["bias"]).astype(dtype),
+            jnp.ones((fk,), dtype), eps=eps)
 
     t = _layer_norm(t, jnp.asarray(top["norm"]["scale"]),
                     jnp.asarray(top["norm"]["bias"]), eps)
