@@ -119,10 +119,12 @@ def bench_model(config_name, batch, steps, *, on_tpu):
         import sys
 
         from uvc_tpu.models import vit as vit_mod
+        from uvc_tpu.ops import performer as perf_mod
         print(f"fused-kernel compile failed ({type(e).__name__}); "
               f"falling back to round-2 kernels", file=sys.stderr)
         vit_mod._FUSED_MLP = False
         vit_mod._FUSED_ATTN_LN = False
+        perf_mod._MERGED_DEFAULT = False
         step = build_stage1_step(cfg, table, hp, thp, warmup=False,
                                  donate=False, bundle=bundle)
         state = create_train_state(

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -117,17 +118,17 @@ def _gelu_and_grad(h32):
     return h32 * phi, phi + h32 * pdf
 
 
-def _recompute_front(x_ref, g, ln1g_ref, ln1b_ref, w2_ref, b2_ref,
+def _recompute_front(xt, ln1g_ref, ln1b_ref, w2_ref, b2_ref,
                      dtype, fmask_ref=None, fcount=None):
-    """LN1 + a two-column projection for one batch item.
+    """LN1 + a column projection for one token tile (array, not ref).
 
-    Each kernel needs only two of the three k/q/v columns (sums: k,v;
-    apply/bwd1: q,v; bwd2: k,v), so the caller passes a pre-concatenated
-    [dim, 2*emb] weight — exactly one MXU lane tile at emb=64, and a third
-    less front-matmul work than projecting the full kqv.
-    Returns (xn32, xhat, rstd, proj[T, 2e])."""
+    The split kernels pass a pre-concatenated [dim, 2*emb] weight (sums:
+    k|v; apply/bwd1: q|v; bwd2: k|v) — exactly one MXU lane tile at
+    emb=64; the merged kernels pass the full [dim, 3*emb] kqv so the
+    front runs once per token instead of twice.
+    Returns (xn32, xhat, rstd, proj[T, cols])."""
     mask = None if fmask_ref is None else fmask_ref[...].astype(jnp.float32)
-    xn32, xhat, rstd = _ln_f32(x_ref[g], ln1g_ref[...], ln1b_ref[...],
+    xn32, xhat, rstd = _ln_f32(xt, ln1g_ref[...], ln1b_ref[...],
                                mask=mask, count=fcount)
     proj = (jnp.dot(xn32.astype(dtype), w2_ref[...],
                     preferred_element_type=jnp.float32)
@@ -159,7 +160,7 @@ def _sums_kernel(x_ref, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, w_ref,
 
     for g in range(group):
         _, _, _, kv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
+            x_ref[g], ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
             fmask_ref if fcount else None, fcount)
         k = kv[:, :emb]
         v = kv[:, emb:].astype(dtype)
@@ -178,7 +179,7 @@ def _apply_kernel(x_ref, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, w_ref,
                   dtype, fcount):
     for g in range(group):
         _, _, _, qv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
+            x_ref[g], ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
             fmask_ref if fcount else None, fcount)
         q = qv[:, :emb]
         v = qv[:, emb:].astype(dtype)
@@ -236,7 +237,7 @@ def _bwd1_kernel(x_ref, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, w_ref,
     fmask = None if not fcount else fmask_ref[...].astype(jnp.float32)
     for g in range(group):
         xn32, xhat1, rstd1, qv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
+            x_ref[g], ln1g_ref, ln1b_ref, wqv_ref, bqv_ref, dtype,
             fmask_ref if fcount else None, fcount)
         q32 = qv[:, :emb]
         v = qv[:, emb:].astype(dtype)
@@ -341,7 +342,7 @@ def _bwd2_kernel(x_ref, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, w_ref,
     fmask = None if not fcount else fmask_ref[...].astype(jnp.float32)
     for g in range(group):
         xn32, xhat1, rstd1, kv = _recompute_front(
-            x_ref, g, ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
+            x_ref[g], ln1g_ref, ln1b_ref, wkv_ref, bkv_ref, dtype,
             fmask_ref if fcount else None, fcount)
         k32 = kv[:, :emb]
         v = kv[:, emb:].astype(dtype)
@@ -534,6 +535,501 @@ def _call_bwd2(x, ln1g, ln1b, wkv, bkv, w, fmask, dkptv, dkpsum, bg,
 
 
 # ---------------------------------------------------------------------------
+# merged single-pass kernels
+# ---------------------------------------------------------------------------
+#
+# The split kernels above pay the LN1 + front-projection recompute and a
+# full x HBM stream TWICE per direction (sums+apply, bwd1+bwd2).  Measured
+# on-chip (stage-1 shape [256, 3136, 192]) the pass decomposes as ~1.6 ms
+# LN + ~1.3 ms front matmul + ~0.7 ms prm_exp + ~3 ms fixed pass overhead,
+# so merging both phases of a direction into ONE program per batch-group —
+# phase 1 looping token tiles (front once, full [dim, 3e] kqv), phase 2
+# finishing from VMEM-buffered per-tile values — removes one LN, one
+# 2-column projection, one x stream and one pass overhead per direction.
+
+
+def _vmem_merged_fwd(bg, n, tile, dim, emb, m):
+    blocks = 2 * bg * n * dim * 2 + 2 * bg * n * emb * 2 \
+        + 2 * bg * (emb + 1) * m * 4
+    saves = n * m * 4 + n * emb * 2            # qp32 + v scratch, shared
+    # fori_loop over tiles: only ONE tile's temporaries are live
+    scratch = tile * dim * 4 * 2 + tile * 3 * emb * 4 + tile * emb * 4 * 4
+    weights = dim * 3 * emb * 2 * 2 + 8 * emb * emb * 2
+    return blocks + saves + scratch + weights
+
+
+def _vmem_merged_bwd(bg, n, tile, dim, emb, m):
+    blocks = 2 * bg * n * dim * 2 * 2 + 2 * bg * n * emb * 2 \
+        + 2 * bg * (emb + 1) * m * 4
+    saves = n * dim * 4 + n * 4                # xhat1 f32 + rstd
+    saves += n * emb * 4 + n * m * 4 + n * emb * 2   # k32, kp32, v
+    scratch = tile * dim * 4 * 3 + tile * 3 * emb * 4 + tile * emb * 4 * 6
+    accums = dim * 2 * emb * 4 * 2 + 10 * emb * emb * 4 \
+        + dim * 3 * emb * 2 * 3
+    return blocks + saves + scratch + accums
+
+
+def _choose_merged(b: int, n: int, dim: int, emb: int, m: int):
+    """((bg_f, tile_f), (bg_b, tile_b)) or None -> split-kernel path.
+    Forward and backward tile independently (the backward buffers much
+    more per batch item, so it usually runs at bg=1 / a smaller tile).
+    A single-tile backward (ntiles == 1) gets a looser budget: with one
+    tile the phase-1 fori_loop collapses and Mosaic's measured VMEM
+    comes in well under the estimate (stage-2 [784, 576]: est 14.7M
+    compiles and beats the 392-tile split by ~20%), while multi-tile
+    configs at the same estimate genuinely OOM (stage-1 bwd (1, 784))."""
+    budget = 13 * 1024 * 1024
+    single_budget = 15 * 1024 * 1024
+    tiles = [t for t in (n, 784, 392, 112)
+             if t <= n and n % t == 0 and t % 8 == 0]
+
+    def pick(est, single_ok=False):
+        for tile in tiles:
+            cap = single_budget if (single_ok and tile == n) else budget
+            for bg in (4, 2, 1):
+                if b % bg:
+                    continue
+                if est(bg, n, tile, dim, emb, m) < cap:
+                    return bg, tile
+        return None
+
+    f = pick(_vmem_merged_fwd)
+    bw = pick(_vmem_merged_bwd, single_ok=True)
+    if f is None or bw is None:
+        return None
+    return f, bw
+
+
+def _fwd_merged_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref,
+                       w_ref, fmask_ref, wproj_ref, bproj_ref, ln2g_ref,
+                       ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                       o_ref, kptv_ref, kpsum_ref, qp_s, v_s, *,
+                       emb: int, m: int, ntiles: int, group: int, dtype,
+                       fcount):
+    """Whole forward stage for `group` batch items in one program.
+
+    Tiles run under lax.fori_loop (not Python unroll) so only one tile's
+    temporaries are ever live — the unrolled form blew the 16M VMEM stack
+    at stage-1 shapes.  qp/v cross from the sums phase to the apply phase
+    through VMEM scratch, reused across the (unrolled) group loop."""
+    n = x_ref.shape[1]
+    tile = n // ntiles
+    for g in range(group):
+        def phase1(t, carry):
+            kptv, kpsum = carry
+            sl = pl.ds(t * tile, tile)
+            _, _, _, kqv = _recompute_front(
+                x_ref[g, sl, :], ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref,
+                dtype, fmask_ref if fcount else None, fcount)
+            k = kqv[:, :emb]
+            q = kqv[:, emb:2 * emb]
+            v = kqv[:, 2 * emb:].astype(dtype)
+            kp = _prm(k, w_ref, m).astype(dtype)
+            qp_s[sl, :] = _prm(q, w_ref, m)
+            v_s[sl, :] = v
+            kptv += jax.lax.dot_general(
+                v, kp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [emb, m]
+            kpsum += jnp.sum(kp.astype(jnp.float32), axis=0, keepdims=True)
+            return kptv, kpsum
+
+        kptv, kpsum = jax.lax.fori_loop(
+            0, ntiles, phase1, (jnp.zeros((emb, m), jnp.float32),
+                                jnp.zeros((1, m), jnp.float32)))
+        kptv_ref[g] = kptv
+        kpsum_ref[g] = kpsum
+        kptv_b = kptv.astype(dtype)
+
+        def phase2(t, carry):
+            sl = pl.ds(t * tile, tile)
+            qp32 = qp_s[sl, :]
+            v = v_s[sl, :]
+            d = jnp.sum(qp32 * kpsum, axis=-1, keepdims=True)    # [T, 1]
+            y = jax.lax.dot_general(
+                qp32.astype(dtype), kptv_b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) / (d + 1e-8)
+            attn = v.astype(jnp.float32) + (
+                jnp.dot(y.astype(dtype), wproj_ref[...],
+                        preferred_element_type=jnp.float32)
+                + bproj_ref[...].astype(jnp.float32))
+            h2, _, _ = _ln_f32(attn.astype(dtype), ln2g_ref[...],
+                               ln2b_ref[...])
+            hh = (jnp.dot(h2.astype(dtype), wfc1_ref[...],
+                          preferred_element_type=jnp.float32)
+                  + bfc1_ref[...].astype(jnp.float32))
+            a, _ = _gelu_and_grad(hh)
+            mlp = (jnp.dot(a.astype(dtype), wfc2_ref[...],
+                           preferred_element_type=jnp.float32)
+                   + bfc2_ref[...].astype(jnp.float32))
+            o_ref[g, sl, :] = (attn + mlp).astype(o_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, ntiles, phase2, 0)
+
+
+def _bwd_merged_kernel(x_ref, ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref,
+                       wkv_ref, wqv_ref, w_ref, fmask_ref, wproj_ref,
+                       bproj_ref, ln2g_ref, ln2b_ref, wfc1_ref, bfc1_ref,
+                       wfc2_ref, bfc2_ref, kptv_ref, kpsum_ref, do_ref,
+                       dx_ref, dln1g_ref, dln1b_ref, dwqv_ref, dbqv_ref,
+                       dwkv_ref, dbkv_ref, dwproj_ref, dbproj_ref,
+                       dln2g_ref, dln2b_ref, dwfc1_ref, dbfc1_ref,
+                       dwfc2_ref, dbfc2_ref, xhat_s, rstd_s, k_s, kp_s,
+                       v_s, *, emb: int, m: int, ntiles: int, group: int,
+                       dtype, fcount):
+    """bwd1 + bwd2 in one program: phase 1 recomputes the front ONCE per
+    tile (full kqv), runs all local grads and accumulates dkptv/dkpsum
+    while buffering (xhat, rstd, k, kp, v) in VMEM scratch; phase 2
+    distributes the complete global cotangents through the k/v paths
+    from the buffers, accumulating into the dx block in place.  Tiles
+    run under lax.fori_loop so only one tile's temporaries are live."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init_w():
+        for ref in (dln1g_ref, dln1b_ref, dwqv_ref, dbqv_ref, dwkv_ref,
+                    dbkv_ref, dwproj_ref, dbproj_ref, dln2g_ref, dln2b_ref,
+                    dwfc1_ref, dbfc1_ref, dwfc2_ref, dbfc2_ref):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    n = x_ref.shape[1]
+    tile = n // ntiles
+    fmask = None if not fcount else fmask_ref[...].astype(jnp.float32)
+    g1_32 = ln1g_ref[...].astype(jnp.float32)
+    b1_32 = ln1b_ref[...].astype(jnp.float32)
+    for g in range(group):
+        kptv_b = kptv_ref[g].astype(dtype)
+
+        def phase1(t, carry):
+            dkptv, dkpsum = carry
+            sl = pl.ds(t * tile, tile)
+            xn32, xhat1, rstd1, kqv = _recompute_front(
+                x_ref[g, sl, :], ln1g_ref, ln1b_ref, wkqv_ref, bkqv_ref,
+                dtype, fmask_ref if fcount else None, fcount)
+            k32 = kqv[:, :emb]
+            q32 = kqv[:, emb:2 * emb]
+            v = kqv[:, 2 * emb:].astype(dtype)
+            kp32 = _prm(k32, w_ref, m)
+            qp32 = _prm(q32, w_ref, m)
+            qp = qp32.astype(dtype)
+            d = jnp.sum(qp32 * kpsum_ref[g], axis=-1, keepdims=True)
+            dd_inv = 1.0 / (d + 1e-8)
+            y_pre = jax.lax.dot_general(
+                qp, kptv_b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y_pre * dd_inv
+            attn = v.astype(jnp.float32) + (
+                jnp.dot(y.astype(dtype), wproj_ref[...],
+                        preferred_element_type=jnp.float32)
+                + bproj_ref[...].astype(jnp.float32))
+            attn_b = attn.astype(dtype)
+            h2_32, xhat2, rstd2 = _ln_f32(attn_b, ln2g_ref[...],
+                                          ln2b_ref[...])
+            h2 = h2_32.astype(dtype)
+            hh = (jnp.dot(h2, wfc1_ref[...],
+                          preferred_element_type=jnp.float32)
+                  + bfc1_ref[...].astype(jnp.float32))
+            a32, dgelu = _gelu_and_grad(hh)
+            a = a32.astype(dtype)
+
+            do32 = do_ref[g, sl, :].astype(jnp.float32)
+            dob = do32.astype(dtype)
+            # mlp backward
+            dbfc2_ref[...] += jnp.sum(do32, axis=0, keepdims=True)
+            dwfc2_ref[...] += jax.lax.dot_general(
+                a, dob, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            da = jax.lax.dot_general(
+                dob, wfc2_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dhh = da * dgelu
+            dhh_b = dhh.astype(dtype)
+            dbfc1_ref[...] += jnp.sum(dhh, axis=0, keepdims=True)
+            dwfc1_ref[...] += jax.lax.dot_general(
+                h2, dhh_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh2 = jax.lax.dot_general(
+                dhh_b, wfc1_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dln2g_ref[...] += jnp.sum(dh2 * xhat2, axis=0, keepdims=True)
+            dln2b_ref[...] += jnp.sum(dh2, axis=0, keepdims=True)
+            dattn = do32 + _ln_vjp(dh2, xhat2, rstd2, ln2g_ref[...])
+            dattn_b = dattn.astype(dtype)
+            # proj backward
+            dbproj_ref[...] += jnp.sum(dattn, axis=0, keepdims=True)
+            dwproj_ref[...] += jax.lax.dot_general(
+                y.astype(dtype), dattn_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dy = jax.lax.dot_general(
+                dattn_b, wproj_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dy_pre = dy * dd_inv
+            dd = -jnp.sum(dy * y, axis=-1, keepdims=True) * dd_inv
+            dy_pre_b = dy_pre.astype(dtype)
+            dqp = jnp.dot(dy_pre_b, kptv_b,
+                          preferred_element_type=jnp.float32) \
+                + dd * kpsum_ref[g]                              # [T, m]
+            dkptv = dkptv + jax.lax.dot_general(
+                dy_pre_b, qp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dkpsum = dkpsum + jnp.sum(dd * qp32, axis=0, keepdims=True)
+            # prm_exp vjp (q path)
+            dwtx = qp32 * dqp
+            dq = jax.lax.dot_general(
+                dwtx.astype(dtype), w_ref[...].astype(dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                - q32 * jnp.sum(dwtx, axis=-1, keepdims=True)
+            dqv = jnp.concatenate([dq, dattn], axis=-1)          # [T, 2e]
+            dqv_b = dqv.astype(dtype)
+            dbqv_ref[...] += jnp.sum(dqv, axis=0, keepdims=True)
+            dwqv_ref[...] += jax.lax.dot_general(
+                xn32.astype(dtype), dqv_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxn = jax.lax.dot_general(
+                dqv_b, wqv_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dln1g_ref[...] += jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+            dln1b_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+            dx_ref[g, sl, :] = _ln_vjp(dxn, xhat1, rstd1, ln1g_ref[...],
+                                       fmask, fcount).astype(dx_ref.dtype)
+            xhat_s[sl, :] = xhat1
+            rstd_s[sl, :] = rstd1
+            k_s[sl, :] = k32
+            kp_s[sl, :] = kp32
+            v_s[sl, :] = v
+            return dkptv, dkpsum
+
+        dkptv, dkpsum = jax.lax.fori_loop(
+            0, ntiles, phase1, (jnp.zeros((emb, m), jnp.float32),
+                                jnp.zeros((1, m), jnp.float32)))
+        # phase 2: k/v-global grads from the complete dkptv/dkpsum
+        dkptv_b = dkptv.astype(dtype)
+
+        def phase2(t, carry):
+            sl = pl.ds(t * tile, tile)
+            xhat1 = xhat_s[sl, :]
+            rstd1 = rstd_s[sl, :]
+            k32 = k_s[sl, :]
+            kp32 = kp_s[sl, :]
+            v = v_s[sl, :]
+            xn32 = xhat1 * g1_32 + b1_32        # bitwise _ln_f32 output
+            dv = jax.lax.dot_general(
+                kp32.astype(dtype), dkptv_b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [T, emb]
+            dkp = jnp.dot(v, dkptv_b,
+                          preferred_element_type=jnp.float32) + dkpsum
+            dwtx = kp32 * dkp
+            dk = jax.lax.dot_general(
+                dwtx.astype(dtype), w_ref[...].astype(dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) \
+                - k32 * jnp.sum(dwtx, axis=-1, keepdims=True)
+            dkv = jnp.concatenate([dk, dv], axis=-1)             # [T, 2e]
+            dkv_b = dkv.astype(dtype)
+            dbkv_ref[...] += jnp.sum(dkv, axis=0, keepdims=True)
+            dwkv_ref[...] += jax.lax.dot_general(
+                xn32.astype(dtype), dkv_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxn = jax.lax.dot_general(
+                dkv_b, wkv_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dln1g_ref[...] += jnp.sum(dxn * xhat1, axis=0, keepdims=True)
+            dln1b_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+            dx_ref[g, sl, :] += _ln_vjp(dxn, xhat1, rstd1, ln1g_ref[...],
+                                        fmask, fcount).astype(dx_ref.dtype)
+            return carry
+
+        jax.lax.fori_loop(0, ntiles, phase2, 0)
+
+
+def _merged_compiler_params(interpret):
+    """Raise the scoped-VMEM cap for the merged programs: the stage-1
+    backward at the s2d fmask shape sits 168K over Mosaic's 16M default
+    (the masked-LN temporaries), and v5e's physical VMEM is far larger —
+    a 20M cap compiles and costs nothing when under the default."""
+    if interpret:
+        return {}
+    try:
+        return {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024)}
+    except Exception:  # pragma: no cover - older pallas signature
+        return {}
+
+
+def _merged_specs(bg, n, dim, emb, interpret):
+    mspace = pl.ANY if interpret else pltpu.VMEM
+    xspec = pl.BlockSpec((bg, n, dim), lambda i: (i, 0, 0),
+                         memory_space=mspace)
+    ospec = pl.BlockSpec((bg, n, emb), lambda i: (i, 0, 0),
+                         memory_space=mspace)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=mspace)
+
+    def bspec(shape):
+        return pl.BlockSpec((bg,) + shape,
+                            lambda i: (i,) + tuple(0 for _ in shape),
+                            memory_space=mspace)
+
+    return xspec, ospec, wspec, bspec
+
+
+def _call_fwd_merged(x, args, bg, tile, dtype, interpret, fcount):
+    (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
+     bfc1, wfc2, bfc2) = args
+    b, n, dim = x.shape
+    emb = wkqv.shape[1] // 3
+    m = w.shape[0]
+    xspec, ospec, wspec, bspec = _merged_specs(bg, n, dim, emb, interpret)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        functools.partial(_fwd_merged_kernel, emb=emb, m=m,
+                          ntiles=n // tile, group=bg, dtype=dtype,
+                          fcount=fcount),
+        grid=(b // bg,),
+        in_specs=[xspec, wspec((dim,)), wspec((dim,)),
+                  wspec((dim, 3 * emb)), wspec((3 * emb,)),
+                  wspec((m, emb)), wspec((dim,)),
+                  wspec((emb, emb)), wspec((emb,)), wspec((emb,)),
+                  wspec((emb,)), wspec((emb, emb)), wspec((emb,)),
+                  wspec((emb, emb)), wspec((emb,))],
+        out_specs=(ospec, bspec((emb, m)), bspec((1, m))),
+        out_shape=(jax.ShapeDtypeStruct((b, n, emb), x.dtype),
+                   jax.ShapeDtypeStruct((b, emb, m), f32),
+                   jax.ShapeDtypeStruct((b, 1, m), f32)),
+        scratch_shapes=[pltpu.VMEM((n, m), f32),      # qp32
+                        pltpu.VMEM((n, emb), x.dtype)],  # v
+        interpret=interpret,
+        **_merged_compiler_params(interpret),
+    )(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+      wfc1, bfc1, wfc2, bfc2)
+
+
+def _call_bwd_merged(x, args, wkv, wqv, kptv, kpsum, dout, bg, tile,
+                     dtype, interpret, fcount):
+    (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
+     bfc1, wfc2, bfc2) = args
+    b, n, dim = x.shape
+    emb = wkqv.shape[1] // 3
+    m = w.shape[0]
+    xspec, ospec, wspec, bspec = _merged_specs(bg, n, dim, emb, interpret)
+    f32 = jnp.float32
+
+    def acc(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pl.ANY if interpret
+                            else pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, emb=emb, m=m,
+                          ntiles=n // tile, group=bg, dtype=dtype,
+                          fcount=fcount),
+        grid=(b // bg,),
+        in_specs=[xspec, wspec((dim,)), wspec((dim,)),
+                  wspec((dim, 3 * emb)), wspec((3 * emb,)),
+                  wspec((dim, 2 * emb)), wspec((dim, 2 * emb)),
+                  wspec((m, emb)), wspec((dim,)),
+                  wspec((emb, emb)), wspec((emb,)), wspec((emb,)),
+                  wspec((emb,)), wspec((emb, emb)), wspec((emb,)),
+                  wspec((emb, emb)), wspec((emb,)),
+                  bspec((emb, m)), bspec((1, m)), ospec],
+        out_specs=(xspec, acc((1, dim)), acc((1, dim)),
+                   acc((dim, 2 * emb)), acc((1, 2 * emb)),
+                   acc((dim, 2 * emb)), acc((1, 2 * emb)),
+                   acc((emb, emb)), acc((1, emb)),
+                   acc((1, emb)), acc((1, emb)),
+                   acc((emb, emb)), acc((1, emb)),
+                   acc((emb, emb)), acc((1, emb))),
+        out_shape=(jax.ShapeDtypeStruct((b, n, dim), x.dtype),
+                   jax.ShapeDtypeStruct((1, dim), f32),
+                   jax.ShapeDtypeStruct((1, dim), f32),
+                   jax.ShapeDtypeStruct((dim, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((1, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((dim, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((1, 2 * emb), f32),
+                   jax.ShapeDtypeStruct((emb, emb), f32),
+                   jax.ShapeDtypeStruct((1, emb), f32),
+                   jax.ShapeDtypeStruct((1, emb), f32),
+                   jax.ShapeDtypeStruct((1, emb), f32),
+                   jax.ShapeDtypeStruct((emb, emb), f32),
+                   jax.ShapeDtypeStruct((1, emb), f32),
+                   jax.ShapeDtypeStruct((emb, emb), f32),
+                   jax.ShapeDtypeStruct((1, emb), f32)),
+        scratch_shapes=[pltpu.VMEM((n, dim), f32),       # xhat1
+                        pltpu.VMEM((n, 1), f32),         # rstd
+                        pltpu.VMEM((n, emb), f32),       # k32
+                        pltpu.VMEM((n, m), f32),         # kp32
+                        pltpu.VMEM((n, emb), x.dtype)],  # v
+        interpret=interpret,
+        **_merged_compiler_params(interpret),
+    )(x, ln1g, ln1b, wkqv, bkqv, wkv, wqv, w, fmask, wproj, bproj,
+      ln2g, ln2b, wfc1, bfc1, wfc2, bfc2, kptv, kpsum, dout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+def _fused_performer_merged(x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj,
+                            bproj, ln2g, ln2b, wfc1, bfc1, wfc2, bfc2,
+                            fwd_cfg, bwd_cfg, interpret, fcount):
+    args = (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+            wfc1, bfc1, wfc2, bfc2)
+    out, _, _ = _call_fwd_merged(x, args, fwd_cfg[0], fwd_cfg[1], x.dtype,
+                                 interpret, fcount)
+    return out
+
+
+def _fused_performer_merged_fwd(x, ln1g, ln1b, wkqv, bkqv, w, fmask,
+                                wproj, bproj, ln2g, ln2b, wfc1, bfc1,
+                                wfc2, bfc2, fwd_cfg, bwd_cfg, interpret,
+                                fcount):
+    args = (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+            wfc1, bfc1, wfc2, bfc2)
+    out, kptv, kpsum = _call_fwd_merged(x, args, fwd_cfg[0], fwd_cfg[1],
+                                        x.dtype, interpret, fcount)
+    return out, (x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g,
+                 ln2b, wfc1, bfc1, wfc2, bfc2, kptv, kpsum)
+
+
+def _fused_performer_merged_bwd(fwd_cfg, bwd_cfg, interpret, fcount, res,
+                                dout):
+    (x, ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b, wfc1,
+     bfc1, wfc2, bfc2, kptv, kpsum) = res
+    emb = wkqv.shape[1] // 3
+    wkv, _, wqv, _ = _split_kqv(wkqv, bkqv)
+    args = (ln1g, ln1b, wkqv, bkqv, w, fmask, wproj, bproj, ln2g, ln2b,
+            wfc1, bfc1, wfc2, bfc2)
+    (dx, dg1, db1, dwqv, dbqv, dwkv, dbkv, dwproj, dbproj, dg2, db2,
+     dwfc1, dbfc1, dwfc2, dbfc2) = _call_bwd_merged(
+        x, args, wkv, wqv, kptv, kpsum, dout, bwd_cfg[0], bwd_cfg[1],
+        x.dtype, interpret, fcount)
+    dwkqv = jnp.concatenate(
+        [dwkv[:, :emb], dwqv[:, :emb], dwqv[:, emb:] + dwkv[:, emb:]],
+        axis=1)
+    dbkqv = jnp.concatenate(
+        [dbkv[0, :emb], dbqv[0, :emb], dbqv[0, emb:] + dbkv[0, emb:]])
+    return (
+        dx.astype(x.dtype),
+        dg1[0].astype(ln1g.dtype),
+        db1[0].astype(ln1b.dtype),
+        dwkqv.astype(wkqv.dtype),
+        dbkqv.astype(bkqv.dtype),
+        jnp.zeros_like(w),
+        jnp.zeros_like(fmask),
+        dwproj.astype(wproj.dtype),
+        dbproj[0].astype(bproj.dtype),
+        dg2[0].astype(ln2g.dtype),
+        db2[0].astype(ln2b.dtype),
+        dwfc1.astype(wfc1.dtype),
+        dbfc1[0].astype(bfc1.dtype),
+        dwfc2.astype(wfc2.dtype),
+        dbfc2[0].astype(bfc2.dtype),
+    )
+
+
+_fused_performer_merged.defvjp(_fused_performer_merged_fwd,
+                               _fused_performer_merged_bwd)
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -622,9 +1118,15 @@ def _fused_performer_bwd(bg, tile, interpret, fcount, res, dout):
 _fused_performer.defvjp(_fused_performer_fwd, _fused_performer_bwd)
 
 
+# one-program-per-batch-group kernels (halved LN/front recompute); flag
+# read at import like UVC_FUSED_MLP — set 0 to force the split kernels
+_MERGED_DEFAULT = os.environ.get("UVC_PERF_MERGED", "1") != "0"
+
+
 def fused_performer(p: dict, x: jax.Array, *, dtype,
                     interpret: bool = False,
-                    feat_idx: Optional[np.ndarray] = None
+                    feat_idx: Optional[np.ndarray] = None,
+                    merged: Optional[bool] = None
                     ) -> Optional[jax.Array]:
     """Whole token-performer stage as Pallas programs; returns None when
     the shape doesn't tile (caller uses the composed path).  ``p`` is the
@@ -639,8 +1141,13 @@ def fused_performer(p: dict, x: jax.Array, *, dtype,
     statistics run over the live slots only."""
     b, n, dim = x.shape
     emb = p["kqv"]["kernel"].shape[1] // 3
-    bg, tile = _choose_tiles(b, n, dim, emb)
-    if bg is None:
+    m = p["prm_w"].shape[0]
+    if merged is None:
+        merged = _MERGED_DEFAULT
+    cfgs = _choose_merged(b, n, dim, emb, m) if merged else None
+    bg, tile = (None, None) if cfgs is not None \
+        else _choose_tiles(b, n, dim, emb)
+    if cfgs is None and bg is None:
         return None
     cast = lambda t: t.astype(dtype)  # noqa: E731
     wkqv, bkqv = p["kqv"]["kernel"], p["kqv"]["bias"]
@@ -667,7 +1174,7 @@ def fused_performer(p: dict, x: jax.Array, *, dtype,
             b1 = b1[safe] * vmask
             fmask = vmask
             fcount = float(valid.sum())
-    return _fused_performer(
+    tensors = (
         x.astype(dtype), g1, b1, cast(wkqv), cast(bkqv),
         jax.lax.stop_gradient(p["prm_w"]).astype(jnp.float32),
         fmask,
@@ -675,8 +1182,11 @@ def fused_performer(p: dict, x: jax.Array, *, dtype,
         p["norm2"]["scale"].astype(jnp.float32),
         p["norm2"]["bias"].astype(jnp.float32),
         cast(p["mlp_fc1"]["kernel"]), cast(p["mlp_fc1"]["bias"]),
-        cast(p["mlp_fc2"]["kernel"]), cast(p["mlp_fc2"]["bias"]),
-        bg, tile, interpret, fcount)
+        cast(p["mlp_fc2"]["kernel"]), cast(p["mlp_fc2"]["bias"]))
+    if cfgs is not None:
+        return _fused_performer_merged(*tensors, cfgs[0], cfgs[1],
+                                       interpret, fcount)
+    return _fused_performer(*tensors, bg, tile, interpret, fcount)
 
 
 def s2d_stage1_inputs(x: jax.Array):
