@@ -13,8 +13,11 @@ Times variants of the stage-1 program to attribute the step's wall time:
 Usage:  timeout 1800 python scripts/tpu_attrib.py small [tiny] [base]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
