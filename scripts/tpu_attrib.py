@@ -72,6 +72,12 @@ def attrib(name):
 
     rows = {}
 
+    def _row(k, v):
+        # per-row flushed progress: a killed run keeps its partial rows
+        rows[k] = v
+        print(f"  [{name}] {k:16s} {v / BUNDLE * 1e3:8.2f} ms/step",
+              flush=True)
+
     def bench_step(hp, thp_):
         state = create_train_state(
             jax.tree.map(jnp.copy, params), thp_,
@@ -84,20 +90,20 @@ def attrib(name):
         return _time(lambda: run())
 
     hp = MinimaxHParams(enable_patch_gating=2, gating_interval=100)
-    rows["full"] = bench_step(hp, thp)
+    _row("full", bench_step(hp, thp))
 
     # no arch update: gating/pruning all off => arch_update degenerates
     hp_noarch = MinimaxHParams(enable_patch_gating=0, enable_block_gating=False,
                                enable_pruning=False, gating_interval=100)
-    rows["noarch_nogate"] = bench_step(hp_noarch, thp)
+    _row("noarch_nogate", bench_step(hp_noarch, thp))
 
     import dataclasses
     thp_nomix = dataclasses.replace(thp, mixup=0.0, cutmix=0.0)
-    rows["nomixup"] = bench_step(hp, thp_nomix)
+    _row("nomixup", bench_step(hp, thp_nomix))
 
     thp_noteach = dataclasses.replace(thp, distillation_alpha=0.0,
                                       distillation_type="none")
-    rows["noteacher"] = bench_step(hp, thp_noteach)
+    _row("noteacher", bench_step(hp, thp_noteach))
 
     # fwd-only (student+teacher, mixup, no grad/opt/arch)
     from uvc_tpu.ops.gumbel import block_gating_distrib
@@ -136,7 +142,7 @@ def attrib(name):
                                jax.random.fold_in(k, i)), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(BUNDLE))
         return c
-    rows["fwdonly"] = _time(fwd_bundle, key)
+    _row("fwdonly", _time(fwd_bundle, key))
 
     # encoder-only fwd+bwd: the gated remat'd block stack
     seq = jnp.zeros((batch, cfg.seq_len, cfg.embed_dim), jnp.bfloat16)
@@ -150,7 +156,7 @@ def attrib(name):
                 return jnp.sum(h.astype(jnp.float32))
             return c + jax.grad(loss)(params)["norm"]["scale"][0]
         return jax.lax.fori_loop(0, BUNDLE, one, jnp.float32(0))
-    rows["encoder_fb"] = _time(enc_fb, key)
+    _row("encoder_fb", _time(enc_fb, key))
 
     # teacher-style dense fwd alone
     @jax.jit
@@ -160,12 +166,13 @@ def attrib(name):
                               train=False)
             return c + jnp.sum(out.logits) * 0 + out.logits[0, 0]
         return jax.lax.fori_loop(0, BUNDLE, one, jnp.float32(0))
-    rows["teacher_fwd"] = _time(teach_fwd, key)
+    _row("teacher_fwd", _time(teach_fwd, key))
 
     per_step = {k: v / BUNDLE * 1e3 for k, v in rows.items()}
-    print(f"== {name} (B={batch}, bundle={BUNDLE}) ms/step ==")
+    print(f"== {name} (B={batch}, bundle={BUNDLE}) ms/step ==", flush=True)
     for k, v in per_step.items():
-        print(f"  {k:16s} {v:8.2f} ms   ({batch / (v / 1e3):7.0f} img/s)")
+        print(f"  {k:16s} {v:8.2f} ms   ({batch / (v / 1e3):7.0f} img/s)",
+              flush=True)
     full = per_step["full"]
     print(f"  deltas: arch+gate={full - per_step['noarch_nogate']:.2f}  "
           f"mixup={full - per_step['nomixup']:.2f}  "

@@ -379,3 +379,37 @@ def test_remat_replay_dces_forward_kernels():
     # scan body; fwd scan has 2 kernels, bwd scan has 2 bwd kernels, and
     # the replayed fwd kernels must be DCE'd (6 would mean they are not)
     assert n_calls == 4, f"expected 4 pallas calls in the trace, got {n_calls}"
+
+
+def test_remat_replay_dces_forward_kernels_gated():
+    """Same invariant on the stage-1 path: with a DIFFERENTIABLE block
+    gating distribution, the blend's gating gradient sum(do*out) needs the
+    block output — the save policy keeps it by name ("block_out"), else
+    the replay re-runs the whole fused MLP forward per block (the 5th
+    pallas call this test guards against)."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import vit
+    from uvc_tpu.ops import attention as attn_mod
+    from uvc_tpu.ops.gumbel import block_gating_distrib
+
+    cfg = get_config("testing").replace(depth=2)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (2, cfg.seq_len, cfg.embed_dim))
+    key = jax.random.PRNGKey(3)
+
+    old = attn_mod._FORCE_FUSED_INTERPRET
+    attn_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        def loss(p):
+            gd = block_gating_distrib(key, p["block_gating"],
+                                      use_gumbel=True, gumbel_hard=False,
+                                      eps=0.1, warmup=False)
+            return jnp.sum(vit.transformer_encode(
+                p, x, cfg, gating_distrib=gd) ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.value_and_grad(loss))(params)
+    finally:
+        attn_mod._FORCE_FUSED_INTERPRET = old
+    n_calls = str(jaxpr).count("pallas_call")
+    assert n_calls == 4, f"expected 4 pallas calls in the trace, got {n_calls}"

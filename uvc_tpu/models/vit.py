@@ -433,6 +433,11 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                 m_in = _layer_norm(z, blk["ln2"]["scale"],
                                    blk["ln2"]["bias"], eps)
                 m_out = _mlp(m_in, blk, mlp_m, dtype)
+                if m_d is not None:
+                    # part-gating gradient d/d(m_d[1]) = sum(do*m_out):
+                    # save the sublayer output or the replay re-runs
+                    # fc1+gelu+fc2 (same reasoning as "block_out" below)
+                    m_out = checkpoint_name(m_out, "mlp_out")
                 if use_dp:
                     m_out = drop_path(m_out, jax.random.fold_in(dp_key, 1),
                                       dp_rate.astype(jnp.float32))
@@ -445,6 +450,13 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
 
         out = run_block(h)
         if distrib is not None:
+            # the blend's gating gradient d(loss)/d(distrib[1]) = sum(do*out)
+            # needs the block output in the backward; without saving it the
+            # remat replay re-runs the ENTIRE fused MLP forward kernel per
+            # block (~56% of a block's forward FLOPs) just to rebuild `out`.
+            # Naming it costs no HBM traffic — the MLP kernel already wrote
+            # it; saving only keeps it alive ([B, N, D] per block).
+            out = checkpoint_name(out, "block_out")
             h = (distrib[1].astype(dtype) * out
                  + distrib[0].astype(dtype) * h)
         else:
@@ -465,7 +477,8 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
     # recomputes only layernorms + the MLP linearization points, never the
     # attention sublayer; its own VJP recomputes the softmax exactly once
     # inside the combined backward kernel (ops/attention.py _bwd_ctx_kernel)
-    policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "attn_out", "block_out", "mlp_out")
     body = jax.checkpoint(block_body, policy=policy) if remat else block_body
     init = (x, jnp.zeros_like(x)) if jumping else x
     out_carry, _ = jax.lax.scan(body, init, xs)
