@@ -34,6 +34,12 @@ def main(argv=None):
                         "scorer's top int(ratio*N) patches per image "
                         "(use the discovered --patch_ratio); default "
                         "keeps the full sequence")
+    p.add_argument("--export_stablehlo", default=None,
+                   help="also write an AOT StableHLO serving artifact "
+                        "(.npz) callable with jax alone — see "
+                        "uvc_tpu/infer/export.py")
+    p.add_argument("--serve_batches", default="8",
+                   help="comma-separated batch sizes to export")
     args = p.parse_args(argv)
 
     from uvc_tpu.compress.masks import build_masks
@@ -63,6 +69,16 @@ def main(argv=None):
                         else float(args.token_ratio)),
         "flops_fraction": float(frac)})
     print(f"saved to {args.save_file}")
+
+    if args.export_stablehlo:
+        from uvc_tpu.infer.export import export_serving, save_serving
+        batches = [int(s) for s in args.serve_batches.split(",") if s]
+        arts = export_serving(
+            layers, top, cfg, batch_sizes=batches,
+            token_ratio=args.token_ratio)
+        save_serving(args.export_stablehlo, arts)
+        print(f"StableHLO serving artifact (batches {batches}) "
+              f"saved to {args.export_stablehlo}")
 
 
 if __name__ == "__main__":
