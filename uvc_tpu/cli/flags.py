@@ -27,7 +27,8 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--name", default="debug",
                    help="Name of this run. Used for monitoring.")
     p.add_argument("--dataset",
-                   choices=["cifar10", "cifar100", "imagenet", "synthetic"],
+                   choices=["cifar10", "cifar100", "imagenet", "synthetic",
+                            "procedural"],
                    default="imagenet")
     p.add_argument("--data_dir", default="/data/imagenet")
     p.add_argument("--num_workers", default=16, type=int)
@@ -265,7 +266,8 @@ def to_train_hparams(args, steps_per_epoch: int, num_classes: int,
 
 
 def num_classes_for(dataset: str) -> int:
-    return {"cifar10": 10, "cifar100": 100}.get(dataset, 1000)
+    return {"cifar10": 10, "cifar100": 100, "procedural": 10}.get(
+        dataset, 1000)
 
 
 def parse_with_config(parser: argparse.ArgumentParser, argv=None):

@@ -23,9 +23,20 @@ from uvc_tpu.configs import get_config
 
 def build_loaders(args, num_classes: int, img_size: int):
     from uvc_tpu.data.pipeline import (ArrayLoader, FolderLoader,
-                                       SyntheticLoader, cifar_arrays)
+                                       ProceduralLoader, SyntheticLoader,
+                                       cifar_arrays)
     pid, pcount = jax.process_index(), jax.process_count()
     per_host_train = args.train_batch_size // pcount
+    if args.dataset == "procedural":
+        train = ProceduralLoader(per_host_train,
+                                 num_batches=args.synthetic_steps,
+                                 img_size=img_size,
+                                 num_classes=num_classes, train=True,
+                                 seed=args.seed, pid=pid, pcount=pcount)
+        test = ProceduralLoader(args.eval_batch_size, num_batches=8,
+                                img_size=img_size, num_classes=num_classes,
+                                train=False, seed=args.seed)
+        return train, test
     if args.dataset == "synthetic":
         train = SyntheticLoader(per_host_train,
                                 num_batches=args.synthetic_steps,

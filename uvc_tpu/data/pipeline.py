@@ -431,6 +431,77 @@ class SyntheticLoader:
             yield self.x, self.y
 
 
+class ProceduralLoader:
+    """Learnable synthetic data for end-to-end accuracy evidence.
+
+    Each class is a fixed low-frequency pattern (a seeded sum of 2-D
+    sinusoids per RGB channel); an image is ``contrast * template +
+    (1 - contrast) * noise`` with a fresh per-image noise field.  The
+    train split draws a new noise stream every epoch (effectively
+    infinite data) while the eval split is a fixed held-out stream, so
+    eval accuracy measures genuine generalization — unlike
+    ``SyntheticLoader``'s label-free random batch.  No dataset files are
+    needed (this environment has no network egress and no ImageNet);
+    this is the closest attainable stand-in for the reference's
+    accuracy-at-scale evidence (its published ImageNet logs).
+    """
+
+    def __init__(self, batch_size: int, *, num_batches: int = 50,
+                 img_size: int = 32, num_classes: int = 10,
+                 train: bool = True, contrast: float = 0.55,
+                 seed: int = 0, pid: int = 0, pcount: int = 1):
+        self.batch_size = batch_size
+        self.num_batches = num_batches
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.train = train
+        self.contrast = contrast
+        self.seed = seed
+        self.pid = pid
+        self.pcount = pcount
+        self.epoch = 0
+        # class templates: K waves per channel, low spatial frequency so
+        # patches carry class signal at any patch size
+        trng = np.random.default_rng(seed + 7919)
+        yy, xx = np.mgrid[0:img_size, 0:img_size] / img_size
+        tpl = np.zeros((num_classes, img_size, img_size, 3), np.float32)
+        for c in range(num_classes):
+            for ch in range(3):
+                for _ in range(4):
+                    fx, fy = trng.uniform(-4, 4, 2)
+                    ph = trng.uniform(0, 2 * np.pi)
+                    tpl[c, :, :, ch] += np.sin(
+                        2 * np.pi * (fx * xx + fy * yy) + ph)
+        lo = tpl.min(axis=(1, 2, 3), keepdims=True)
+        hi = tpl.max(axis=(1, 2, 3), keepdims=True)
+        self.templates = (tpl - lo) / (hi - lo + 1e-8)
+
+    def __len__(self):
+        return self.num_batches
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _batch(self, rng):
+        y = rng.integers(0, self.num_classes,
+                         (self.batch_size,)).astype(np.int32)
+        noise = rng.random(
+            (self.batch_size, self.img_size, self.img_size, 3),
+            dtype=np.float32)
+        x = (self.contrast * self.templates[y]
+             + (1.0 - self.contrast) * noise)
+        return (x * 255.0).astype(np.uint8), y
+
+    def __iter__(self):
+        # train: stream re-seeded every epoch (tags 2, 3, ...); eval: the
+        # epoch-independent held-out tag 1 — disjoint for any seed >= 0
+        tag = (self.epoch + 2) if self.train else 1
+        rng = np.random.default_rng(
+            (self.seed * 131 + tag) * 1009 + self.pid * 31 + 1)
+        for _ in range(self.num_batches):
+            yield self._batch(rng)
+
+
 def cifar_arrays(data_dir: str, dataset: str = "cifar10", train: bool = True
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Read standard CIFAR python-pickle batches from disk
