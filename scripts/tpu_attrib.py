@@ -11,6 +11,9 @@ Times variants of the stage-1 program to attribute the step's wall time:
   encoder     just the remat'd encoder fwd+bwd (no embed/heads/loss/opt)
 
 Usage:  timeout 1800 python scripts/tpu_attrib.py small [tiny] [base]
+        UVC_ATTRIB_ROWS=encoder_fb,teacher_fwd ... # row subset (the
+        fwdonly program hangs in XLA compile through the relay — run it
+        alone with a hard timeout if needed)
 """
 
 import os
@@ -70,6 +73,12 @@ def attrib(name):
     ys = jnp.zeros((BUNDLE, batch), jnp.int32)
     taus = jnp.full((BUNDLE,), 5.0, jnp.float32)
 
+    want = os.environ.get("UVC_ATTRIB_ROWS")
+    want = set(want.split(",")) if want else None
+
+    def _skip(k):
+        return want is not None and k not in want
+
     rows = {}
 
     def _row(k, v):
@@ -90,20 +99,24 @@ def attrib(name):
         return _time(lambda: run())
 
     hp = MinimaxHParams(enable_patch_gating=2, gating_interval=100)
-    _row("full", bench_step(hp, thp))
+    if not _skip("full"):
+        _row("full", bench_step(hp, thp))
 
     # no arch update: gating/pruning all off => arch_update degenerates
     hp_noarch = MinimaxHParams(enable_patch_gating=0, enable_block_gating=False,
                                enable_pruning=False, gating_interval=100)
-    _row("noarch_nogate", bench_step(hp_noarch, thp))
+    if not _skip("noarch_nogate"):
+        _row("noarch_nogate", bench_step(hp_noarch, thp))
 
     import dataclasses
     thp_nomix = dataclasses.replace(thp, mixup=0.0, cutmix=0.0)
-    _row("nomixup", bench_step(hp, thp_nomix))
+    if not _skip("nomixup"):
+        _row("nomixup", bench_step(hp, thp_nomix))
 
     thp_noteach = dataclasses.replace(thp, distillation_alpha=0.0,
                                       distillation_type="none")
-    _row("noteacher", bench_step(hp, thp_noteach))
+    if not _skip("noteacher"):
+        _row("noteacher", bench_step(hp, thp_noteach))
 
     # fwd-only (student+teacher, mixup, no grad/opt/arch)
     from uvc_tpu.ops.gumbel import block_gating_distrib
@@ -142,42 +155,53 @@ def attrib(name):
                                jax.random.fold_in(k, i)), None
         c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(BUNDLE))
         return c
-    _row("fwdonly", _time(fwd_bundle, key))
+    if not _skip("fwdonly"):
+        _row("fwdonly", _time(fwd_bundle, key))
 
     # encoder-only fwd+bwd: the gated remat'd block stack
-    seq = jnp.zeros((batch, cfg.seq_len, cfg.embed_dim), jnp.bfloat16)
-
+    # NOTE these two rows are single-dispatch programs (no k-bundle): a
+    # fori_loop/scan wrapped around a bare model.apply hangs in XLA
+    # compile through the relay (observed twice, >12 min; the drivers'
+    # bundled STEP compiles fine).  ~2 ms dispatch noise on a 40-70 ms
+    # program is acceptable for attribution.
     @jax.jit
-    def enc_fb(k):
-        def one(i, c):
-            def loss(p):
-                h = vit.transformer_encode(
-                    p, seq + c.astype(seq.dtype), cfg, dtype=jnp.bfloat16)
-                return jnp.sum(h.astype(jnp.float32))
-            return c + jax.grad(loss)(params)["norm"]["scale"][0]
-        return jax.lax.fori_loop(0, BUNDLE, one, jnp.float32(0))
-    _row("encoder_fb", _time(enc_fb, key))
+    def enc_fb(z):
+        def loss(p):
+            h = vit.transformer_encode(p, z, cfg, dtype=jnp.bfloat16)
+            return jnp.sum(h.astype(jnp.float32))
+        g = jax.grad(loss)(params)
+        # consume EVERY grad leaf: reducing only one leaf lets XLA
+        # DCE the whole backward (measured 24.8 ms vs the real number)
+        return sum(jnp.sum(t.astype(jnp.float32))
+                   for t in jax.tree.leaves(g))
+    if not _skip("encoder_fb"):
+        seq1 = 0.02 * jax.random.normal(
+            key, (batch, cfg.seq_len, cfg.embed_dim), jnp.bfloat16)
+        _row("encoder_fb",
+             BUNDLE * _time(enc_fb, seq1, reps=10))
 
     # teacher-style dense fwd alone
     @jax.jit
-    def teach_fwd(k):
-        def one(i, c):
-            out = model.apply(teacher, xs[i], cfg, dtype=jnp.bfloat16,
-                              train=False)
-            return c + jnp.sum(out.logits) * 0 + out.logits[0, 0]
-        return jax.lax.fori_loop(0, BUNDLE, one, jnp.float32(0))
-    _row("teacher_fwd", _time(teach_fwd, key))
+    def teach_fwd(x1):
+        out = model.apply(teacher, x1, cfg, dtype=jnp.bfloat16,
+                          train=False)
+        return jnp.sum(out.logits.astype(jnp.float32))
+    if not _skip("teacher_fwd"):
+        _row("teacher_fwd", BUNDLE * _time(teach_fwd, xs[0], reps=10))
 
     per_step = {k: v / BUNDLE * 1e3 for k, v in rows.items()}
     print(f"== {name} (B={batch}, bundle={BUNDLE}) ms/step ==", flush=True)
     for k, v in per_step.items():
         print(f"  {k:16s} {v:8.2f} ms   ({batch / (v / 1e3):7.0f} img/s)",
               flush=True)
-    full = per_step["full"]
-    print(f"  deltas: arch+gate={full - per_step['noarch_nogate']:.2f}  "
-          f"mixup={full - per_step['nomixup']:.2f}  "
-          f"teacher_in_step={full - per_step['noteacher']:.2f}  "
-          f"bwd+opt={full - per_step['fwdonly']:.2f}")
+    if {"full", "noarch_nogate", "nomixup", "noteacher"} <= rows.keys():
+        full = per_step["full"]
+        deltas = (f"  deltas: arch+gate={full - per_step['noarch_nogate']:.2f}"
+                  f"  mixup={full - per_step['nomixup']:.2f}"
+                  f"  teacher_in_step={full - per_step['noteacher']:.2f}")
+        if "fwdonly" in per_step:
+            deltas += f"  bwd+opt={full - per_step['fwdonly']:.2f}"
+        print(deltas)
     return per_step
 
 
