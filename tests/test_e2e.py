@@ -213,3 +213,38 @@ def test_stage1_orbax_checkpoint_roundtrip(tmp_path):
     ck = load_checkpoint(ck2)
     assert int(ck["global_step"]) == 6
     assert float(np.asarray(ck["cstate"]["z"])) > z1
+
+
+def test_export_compact_cli_with_stablehlo(tmp_path):
+    """The full deployment flow: stage-1 ckpt -> compact ckpt +
+    StableHLO artifact -> reload with jax alone and run."""
+    import jax
+    import numpy as np
+
+    from uvc_tpu.cli.export_compact import main as export_main
+    from uvc_tpu.cli.joint_train import main as joint_main
+    from uvc_tpu.infer.export import load_serving
+
+    joint_main([
+        "--model_type", "testing", "--dataset", "synthetic",
+        "--img_size", "32", "--train_batch_size", "8",
+        "--eval_batch_size", "8", "--synthetic_steps", "2",
+        "--num_epochs", "1", "--warmup_epochs", "1",
+        "--post_num_epochs", "0", "--warmup_steps", "1",
+        "--enable_patch_gating", "2", "--patch_ratio", "0.7",
+        "--dp", "1", "--output_dir", str(tmp_path), "--name", "s1",
+    ])
+    ckpt = sorted((tmp_path / "s1").glob("*.ckpt"))[0]
+    serve = tmp_path / "serve.npz"
+    export_main([
+        "--model_type", "testing", "--checkpoint", str(ckpt),
+        "--save_file", str(tmp_path / "compact.ckpt"),
+        "--img_size", "32", "--num_classes", "1000",
+        "--token_ratio", "0.7",
+        "--export_stablehlo", str(serve), "--serve_batches", "4",
+    ])
+    assert serve.exists()
+    model = load_serving(str(serve))
+    x = np.random.RandomState(0).randn(3, 32, 32, 3).astype(np.float32)
+    out = np.asarray(jax.device_get(model(x)))
+    assert out.shape == (3, 1000) and np.isfinite(out).all()
