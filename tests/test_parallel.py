@@ -132,3 +132,37 @@ def test_ablation_params_shard_with_tp():
     mesh = make_mesh(dp=4, mp=2)
     sharded = shard_params(params, mesh, mp=2)   # must not raise
     assert sharded["ablation_blocks"][0]["qkv"]["kernel"].shape == (32, 96)
+
+
+def test_sharded_compact_serving_matches_single_device():
+    """Serving scales over the data mesh too: apply_compact jitted with a
+    dp-sharded batch must reproduce the single-device logits (the compact
+    per-layer weights are replicated; XLA shards the batch dim)."""
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.infer.compact import apply_compact, compact_model
+
+    cfg = CFG.replace(embed_dim=16, num_heads=2, depth=3, num_classes=7)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    s = jnp.array([[1.0, 32.0], [0.0, 32.0], [0.0, 32.0]])
+    masks = build_masks(params, s, jnp.zeros((3, 2)), cfg)
+    params["block_gating"] = jnp.array(
+        [[-1.0, 1.0], [-1.0, 1.0], [1.0, -1.0]])
+    layers, top = compact_model(params, masks, cfg)
+
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (16, cfg.img_size, cfg.img_size, 3))
+    ref = apply_compact(layers, top, x, cfg, dtype=jnp.float32).logits
+
+    mesh = make_mesh()                      # 8-way data mesh
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P("data", None, None, None)))
+
+    @jax.jit
+    def serve(xb):
+        return apply_compact(layers, top, xb, cfg,
+                             dtype=jnp.float32).logits
+
+    out = serve(xs)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
