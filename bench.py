@@ -19,11 +19,21 @@ model's gating/token-selection overheads make this a slight undercount).
 """
 
 import json
+import os
 import signal
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: most of a cold bench run is the relay's
+# 20-100 s remote compiles; warm-cache reruns skip them entirely
+# (measured 70.5 s -> 6.1 s per program).  /tmp persists across driver
+# rounds on this machine.
+from uvc_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.environ.get("UVC_COMPILE_CACHE",
+                                        "/tmp/uvc_jaxcache"))
 
 
 class _SectionTimeout(Exception):

@@ -32,6 +32,10 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
                    default="imagenet")
     p.add_argument("--data_dir", default="/data/imagenet")
     p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--compilation_cache_dir", default=None,
+                   help="persistent XLA compile cache (or set "
+                        "UVC_COMPILE_CACHE); cuts the 20-100 s remote "
+                        "TPU compiles to seconds on restart/resume")
     p.add_argument("--model_type", choices=sorted(CONFIGS),
                    default="deit_tiny_distilled_patch16_224")
     p.add_argument("--model_path", default=None,
@@ -286,4 +290,9 @@ def parse_with_config(parser: argparse.ArgumentParser, argv=None):
             parser.error(f"unknown config keys in {known.config}: "
                          f"{', '.join(unknown)}")
         parser.set_defaults(**overrides)
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if getattr(args, "compilation_cache_dir", None) is not None or \
+            __import__("os").environ.get("UVC_COMPILE_CACHE"):
+        from uvc_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache_dir)
+    return args
