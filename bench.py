@@ -224,14 +224,23 @@ def bench_serving(on_tpu):
     compact_fn = scan_of(compact_logits)
     dense_fn = scan_of(dense_logits)
 
-    out = {}
-    for name, fn in (("compact", compact_fn), ("masked_dense", dense_fn)):
-        float(jax.device_get(fn(x)))            # compile
-        t0 = time.perf_counter()
-        for _ in range(3):
+    # interleaved best-of-N timing: relay dispatch latency drifts by tens
+    # of ms over minutes; a drift window that lands on one side's timing
+    # block would skew the ratio (an r3 run recorded compact at 2.76x its
+    # true cost while dense, timed a minute later, was unaffected).
+    # Interleaving exposes both sides to the same service state and the
+    # min discards slow outliers (noise on this path only ever adds time).
+    pairs = (("compact", compact_fn), ("masked_dense", dense_fn))
+    for _, fn in pairs:
+        float(jax.device_get(fn(x)))            # compile + warm
+    times = {name: [] for name, _ in pairs}
+    for _ in range(5):
+        for name, fn in pairs:
+            t0 = time.perf_counter()
             float(jax.device_get(fn(x)))
-        dt = (time.perf_counter() - t0) / 3
-        out[name] = round(batch * reps / dt, 1)
+            times[name].append(time.perf_counter() - t0)
+    out = {name: round(batch * reps / min(ts), 1)
+           for name, ts in times.items()}
     out["speedup"] = round(out["compact"] / out["masked_dense"], 3)
     out["token_ratio"] = token_ratio
     lc, ld = (np.asarray(jax.device_get(jax.jit(f)(x[:16])))
