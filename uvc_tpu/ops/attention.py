@@ -41,6 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 _FORCE_FUSED_INTERPRET = os.environ.get("UVC_FORCE_FUSED", "0") == "1"
 
 
+def _env_group(name: str):
+    """A/B experiment hook: force a kernel batch-group size, bypassing
+    the VMEM budget estimate (UVC_ATTN_FWD_G / UVC_ATTN_BWD_G, plus
+    UVC_MLP_FWD_G / UVC_MLP_BWD_G in ops/mlp.py).  Used for
+    scripts/tpu_kernel_roofline.py sweeps; unset in production.  r3
+    sweep result: the budget-chosen defaults are already optimal
+    (larger groups fail Mosaic VMEM compile or measure slower)."""
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
 def _pad_len(n: int) -> int:
     return -(-n // 128) * 128
 
@@ -312,6 +323,9 @@ def attention_core(q, k, v, scale: float) -> jax.Array:
 def _layer_group(b: int, d: int, np_: int, ln: bool = False) -> int:
     """VMEM budget for the layer kernel: x/out blocks scale with group,
     weights (wqkv + wproj ~ 4*d*d*2B) are resident once."""
+    forced = _env_group("UVC_ATTN_FWD_G")
+    if forced:
+        return forced
     weights = 4 * d * d * 2
     # g=8 fits narrow widths (DeiT-Tiny) only: at D=384 the double-buffered
     # in+out block DMA alone reaches the 16M scoped-vmem limit (measured
@@ -866,6 +880,9 @@ def _layer_ln_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
     """VMEM budget for the LN-fused backward (square widths only): the
     _layer_bwd_group estimate plus the LN's f32 row temporaries
     (x32/xhat/da/dz) and the dg1/db1 accumulators."""
+    forced = _env_group("UVC_ATTN_BWD_G")
+    if forced:
+        return forced
     weights = 4 * d * d * 2
     accums = 4 * d * d * 4 + 2 * d * 4
     scratch = (np_ * 3 * d * 2 * 2

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uvc_tpu.ops.attention import _compiler_params, _pad_rows
+from uvc_tpu.ops.attention import _compiler_params, _env_group, _pad_rows
 
 
 def _erf(x):
@@ -145,6 +145,9 @@ def _mlp_ln_bwd_kernel(x_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref, wfc2_ref,
 
 
 def _mlp_fwd_group(b: int, dm: int, f: int, np_: int) -> int:
+    forced = _env_group("UVC_MLP_FWD_G")
+    if forced:
+        return forced
     weights = 2 * dm * f * 2                       # fc1 + fc2 bf16, resident
     for g in (8, 4, 2, 1):
         if b % g:
@@ -157,6 +160,9 @@ def _mlp_fwd_group(b: int, dm: int, f: int, np_: int) -> int:
 
 
 def _mlp_bwd_group(b: int, dm: int, f: int, np_: int) -> Optional[int]:
+    forced = _env_group("UVC_MLP_BWD_G")
+    if forced:
+        return forced
     weights = 2 * dm * f * 2
     accums = 2 * dm * f * 4 + (2 * dm + 2 * f) * 4
     for g in (8, 4, 2, 1):
