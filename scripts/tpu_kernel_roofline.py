@@ -14,9 +14,16 @@ Rows per model:
   block_fb   both sublayers fwd+bwd through the real remat'd scan body
 
 Usage: timeout 1800 python scripts/tpu_kernel_roofline.py small [tiny ...]
+           [--out ROOFLINE_rN.json]
+
+NOTE (CLAUDE.md): isolated scanned-kernel timings are ~1.7x pessimistic vs
+in-situ (pipeline bubbles between identical back-to-back programs) — the
+"% of tile-ceiling" column is a lower bound; use rows for A/B deltas and
+ceiling-ratio ordering, not absolute step predictions.
 """
 
-import functools
+import argparse
+import json
 import os
 import sys
 import time
@@ -124,14 +131,47 @@ def roofline(name):
     print(f"== {name} B={b} d={d} f={f} heads={h} N={n}->{np_} "
           f"(ceilings: attn {attn_ceiling/1e12:.0f}, "
           f"mlp {mlp_ceiling/1e12:.0f} TF/s)", flush=True)
+    result = {
+        "model": name, "batch": b, "embed_dim": d, "mlp_hidden": f,
+        "heads": h, "seq": n, "seq_padded": np_,
+        "attn_tile_ceiling_tfs": round(attn_ceiling / 1e12, 1),
+        "mlp_tile_ceiling_tfs": round(mlp_ceiling / 1e12, 1),
+        "rows": [],
+    }
     for label, fn, flops, ceil in rows:
         dt = _time_scan(fn, x)
         tf = flops / dt / 1e12
         print(f"  {label:9s} {dt*1e3:7.3f} ms  {tf:6.1f} TF/s  "
               f"{tf/ (PEAK/1e12) * 100:5.1f}% peak  "
               f"{tf / (ceil/1e12) * 100:5.1f}% of tile-ceiling", flush=True)
+        result["rows"].append({
+            "kernel": label, "ms": round(dt * 1e3, 3),
+            "tflops_s": round(tf, 1),
+            "pct_peak": round(tf / (PEAK / 1e12) * 100, 1),
+            "pct_tile_ceiling": round(tf / (ceil / 1e12) * 100, 1),
+        })
+    return result
 
 
 if __name__ == "__main__":
-    for m in (sys.argv[1:] or ["small"]):
-        roofline(m)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*", default=["small"])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    t0 = time.time()
+    results = [roofline(m) for m in (args.models or ["small"])]
+    if args.out:
+        payload = {
+            "harness": "tpu_kernel_roofline",
+            "platform": jax.devices()[0].platform,
+            "peak_bf16_tfs": PEAK / 1e12,
+            "reps_per_timing": REPS,
+            "note": ("isolated scanned-kernel timings are ~1.7x pessimistic "
+                     "vs in-situ; use for deltas/ceiling ratios, not "
+                     "absolute step predictions"),
+            "wall_s": round(time.time() - t0, 1),
+            "models": results,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {args.out}", flush=True)
