@@ -119,6 +119,105 @@ def test_fused_layer_vjp_matches_composition():
                                    rtol=5e-2, atol=5e-2, err_msg=name)
 
 
+def test_fused_layer_vjp_rectangular():
+    """Rectangular widths (attention width != model width — the compact
+    stage-2 training layers, train/compact_ft.py) must route the backward
+    to the composed fallback and match autodiff through the rectangular
+    composition."""
+    from uvc_tpu.ops.attention import fused_layer_attention
+
+    b, n, d, da, heads = 2, 12, 16, 8, 2
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    x = jax.random.normal(ks[0], (b, n, d))
+    wqkv = jax.random.normal(ks[1], (d, 3 * da)) * 0.1
+    bqkv = jax.random.normal(ks[2], (3 * da,)) * 0.1
+    wproj = jax.random.normal(ks[3], (da, d)) * 0.1
+    bproj = jax.random.normal(ks[4], (d,)) * 0.1
+    mask = (jax.random.uniform(ks[5], (da,)) > 0.3).astype(jnp.float32)
+    args = (x, wqkv, bqkv, wproj, bproj, mask)
+    scale = (da // heads) ** -0.5
+
+    def composed_rect(x, wqkv, bqkv, wproj, bproj, mask):
+        dh = da // heads
+        qkv = (x @ wqkv + bqkv).reshape(b, n, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ctx = reference_attention(q, k, v, scale)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, da) * mask
+        return ctx @ wproj + bproj
+
+    out = fused_layer_attention(*args, num_heads=heads, scale=scale,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(composed_rect(*args)),
+                               rtol=2e-2, atol=2e-2)
+
+    def loss_ref(*a):
+        return jnp.sum(composed_rect(*a) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention(
+            *a, num_heads=heads, scale=scale, interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+    for name, a, b_ in zip(["dx", "dwqkv", "dbqkv", "dwproj", "dbproj",
+                            "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_fused_layer_ln_vjp_rectangular():
+    """The LN-fused sublayer's rectangular backward (LN peel + delegate)
+    must match autodiff through the rectangular composition."""
+    from uvc_tpu.ops.attention import fused_layer_attention_ln
+
+    b, n, d, da, heads = 2, 12, 16, 8, 2
+    ks = jax.random.split(jax.random.PRNGKey(8), 8)
+    x = jax.random.normal(ks[0], (b, n, d))
+    g1 = 1.0 + 0.1 * jax.random.normal(ks[6], (d,))
+    b1 = 0.1 * jax.random.normal(ks[7], (d,))
+    wqkv = jax.random.normal(ks[1], (d, 3 * da)) * 0.1
+    bqkv = jax.random.normal(ks[2], (3 * da,)) * 0.1
+    wproj = jax.random.normal(ks[3], (da, d)) * 0.1
+    bproj = jax.random.normal(ks[4], (d,)) * 0.1
+    mask = (jax.random.uniform(ks[5], (da,)) > 0.3).astype(jnp.float32)
+    args = (x, g1, b1, wqkv, bqkv, wproj, bproj, mask)
+    scale = (da // heads) ** -0.5
+    eps = 1e-6
+
+    def composed_rect(x, g1, b1, wqkv, bqkv, wproj, bproj, mask):
+        dh = da // heads
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        a_in = ((x32 - mu) * jax.lax.rsqrt(var + eps) * g1 + b1
+                ).astype(x.dtype)
+        qkv = (a_in @ wqkv + bqkv).reshape(b, n, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ctx = reference_attention(q, k, v, scale)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, da) * mask
+        return x + ctx @ wproj + bproj
+
+    def loss_ref(*a):
+        return jnp.sum(composed_rect(*a) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_layer_attention_ln(
+            *a, num_heads=heads, scale=scale, eps=eps,
+            interpret=True) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_layer_attention_ln(
+            *args, num_heads=heads, scale=scale, eps=eps, interpret=True)),
+        np.asarray(composed_rect(*args)), rtol=2e-2, atol=2e-2)
+    gr = jax.grad(loss_ref, argnums=tuple(range(8)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    for name, a, b_ in zip(["dx", "dg1", "db1", "dwqkv", "dbqkv", "dwproj",
+                            "dbproj", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
 def test_remat_policy_grads_match_norecompute():
     """transformer_encode's save_only_these_names("attn_out") policy must
     not change gradients vs remat=False (pure memory/scheduling choice)."""

@@ -172,6 +172,14 @@ def add_stage2_flags(p: argparse.ArgumentParser) -> None:
     accepted INERT for flag parity.  timm's ``--warmup-lr`` is exposed as
     --sched_warmup_lr because --warmup_lr is already the stage-1 UVC
     constant warmup lr (a different quantity)."""
+    p.add_argument("--compact_train", action="store_true",
+                   help="fine-tune the PHYSICALLY COMPACTED model "
+                        "(train/compact_ft.py): dropped blocks removed, "
+                        "pruned heads sliced, kept MLP units lane-padded "
+                        "— same kept-coordinate update trajectory as the "
+                        "masked-dense step at reduced FLOPs; checkpoints "
+                        "stay dense-layout (beyond reference: "
+                        "post_train.py computes stage 2 dense)")
     p.add_argument("--sched", default=None, choices=["cosine", "step"],
                    help="per-epoch timm lr schedule; default None keeps "
                         "the per-step warmup schedule (--decay_type)")

@@ -92,7 +92,8 @@ def main(argv=None):
                eval_every=args.eval_every, mesh=mesh, mp=args.mp,
                world_batch=args.train_batch_size,
                steps_per_launch=args.steps_per_launch,
-               resume=args.resume, use_orbax=bool(args.use_orbax))
+               resume=args.resume, use_orbax=bool(args.use_orbax),
+               compact=bool(args.compact_train))
 
 
 if __name__ == "__main__":

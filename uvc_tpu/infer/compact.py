@@ -38,25 +38,18 @@ def _pad_to(n: int, q: int = 128) -> int:
     return max(q, -(-n // q) * q)
 
 
-def compact_model(params: dict, masks: Dict[str, jax.Array],
-                  cfg: ViTConfig, *,
-                  block_keep: Optional[np.ndarray] = None,
-                  lane_align: int = 128) -> Tuple[List[dict], dict]:
-    """Slice the pruned architecture out of the parameters.
-
-    Returns (layers, top): per-kept-layer weight dicts with layer-specific
-    shapes, plus the shared top-level params (embeddings, norm, heads).
-    """
-    blocks = jax.tree.map(np.asarray, params["blocks"])
+def layer_plans(masks: Dict[str, jax.Array], cfg: ViTConfig, *,
+                block_keep: np.ndarray,
+                lane_align: int = 128) -> List[dict]:
+    """Per-kept-layer slicing plan shared by serving compaction and
+    compact stage-2 training (train/compact_ft.py): which original block
+    each compact layer maps to, the q/k/v column gather, the within-head
+    v-mask, and the lane-padded kept-MLP-unit set."""
     attn_keep = np.asarray(masks["attn"])        # [L, D] head-major
     mlp_keep = np.asarray(masks["mlp"])          # [L, F]
     l, d = attn_keep.shape
     h, hs = cfg.num_heads, cfg.head_size
-    if block_keep is None:
-        g = np.asarray(params["block_gating"])
-        block_keep = g[:, 1] > g[:, 0]           # stage-2 frozen decision
-
-    layers = []
+    plans = []
     for i in range(l):
         if not bool(block_keep[i]):
             continue
@@ -67,21 +60,49 @@ def compact_model(params: dict, masks: Dict[str, jax.Array],
             kept_heads = np.array([0])
         # q/k/v column gather: head-h block = columns [h*hs, (h+1)*hs) of
         # each of the three d-sized segments
-        qkv = blocks["qkv"]["kernel"][i]         # [D, 3D]
-        qkv_b = blocks["qkv"]["bias"][i]
         cols = np.concatenate(
             [np.arange(hh * hs, (hh + 1) * hs) for hh in kept_heads])
         sel3 = np.concatenate([cols, d + cols, 2 * d + cols])
-        qkv_c = qkv[:, sel3]
-        qkv_bc = qkv_b[sel3]
-        # within-head pruned dims stay, already zeroed on the v/proj side
+        # within-head pruned dims stay, zeroed on the v/proj side only
+        # (uvc_utils.py:376-401: q/k of kept heads remain active)
         vmask = keep_dims[kept_heads].reshape(-1)     # [hk*hs]
-        proj = blocks["proj"]["kernel"][i][cols, :] * vmask[:, None]
-        proj_b = blocks["proj"]["bias"][i]
-
         kept_units = np.nonzero(mlp_keep[i] > 0)[0]
         # pad kept units to the MXU lane quantum, but never beyond dense
         fk = min(_pad_to(len(kept_units), lane_align), mlp_keep.shape[1])
+        plans.append({"layer_id": i, "hk": int(hk), "cols": cols,
+                      "sel3": sel3, "vmask": vmask,
+                      "kept_units": kept_units, "fk": int(fk)})
+    return plans
+
+
+def compact_model(params: dict, masks: Dict[str, jax.Array],
+                  cfg: ViTConfig, *,
+                  block_keep: Optional[np.ndarray] = None,
+                  lane_align: int = 128) -> Tuple[List[dict], dict]:
+    """Slice the pruned architecture out of the parameters.
+
+    Returns (layers, top): per-kept-layer weight dicts with layer-specific
+    shapes, plus the shared top-level params (embeddings, norm, heads).
+    """
+    blocks = jax.tree.map(np.asarray, params["blocks"])
+    mlp_keep = np.asarray(masks["mlp"])          # [L, F]
+    d = np.asarray(masks["attn"]).shape[1]
+    if block_keep is None:
+        g = np.asarray(params["block_gating"])
+        block_keep = g[:, 1] > g[:, 0]           # stage-2 frozen decision
+
+    layers = []
+    for plan in layer_plans(masks, cfg, block_keep=block_keep,
+                            lane_align=lane_align):
+        i = plan["layer_id"]
+        hk, cols, sel3 = plan["hk"], plan["cols"], plan["sel3"]
+        vmask, kept_units, fk = (plan["vmask"], plan["kept_units"],
+                                 plan["fk"])
+        qkv_c = blocks["qkv"]["kernel"][i][:, sel3]
+        qkv_bc = blocks["qkv"]["bias"][i][sel3]
+        proj = blocks["proj"]["kernel"][i][cols, :] * vmask[:, None]
+        proj_b = blocks["proj"]["bias"][i]
+
         fc1 = np.zeros((d, fk), blocks["fc1"]["kernel"].dtype)
         fc1_b = np.zeros((fk,), blocks["fc1"]["bias"].dtype)
         fc2 = np.zeros((fk, d), blocks["fc2"]["kernel"].dtype)

@@ -608,12 +608,16 @@ def _fused_layer_fwd(x, wqkv, bqkv, wproj, bproj, mask, scale, n_valid,
 def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     x, wqkv, bqkv, wproj, bproj, mask = res
     b, np_, d = x.shape
-    # training always uses square widths; rectangular (compacted serving)
-    # layers are inference-only — differentiating one fails loudly here
-    assert wqkv.shape[1] == 3 * d, (
-        "fused-layer backward supports square model/attention widths only")
-    dh = d // num_heads
-    ng, g = _head_group_split(b, d, num_heads, np_)
+    da = wqkv.shape[1] // 3           # attention width: != d for the
+    dh = da // num_heads              # compact stage-2 training layers
+    if da != d:
+        # rectangular widths (train/compact_ft.py): the fused weight-grad
+        # accumulator kernels assume square blocks — route to the composed
+        # fallback below, which keeps the heavy part (softmax recompute +
+        # dq/dk/dv + ctx) in the combined Pallas kernel
+        ng = None
+    else:
+        ng, g = _head_group_split(b, d, num_heads, np_)
     if ng == 1:
         # whole-sublayer backward in one Pallas program: qkv + softmax
         # recomputed in VMEM, weight grads accumulated across the grid —
@@ -661,9 +665,10 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
                 dbqkv.astype(bqkv.dtype), dwproj.astype(wproj.dtype),
                 parts[0][4][0].astype(bproj.dtype), dmask.astype(mask.dtype))
     # composed fallback (wide models whose f32 weight-grad accumulators
-    # don't fit VMEM): recompute qkv with one XLA matmul; the attention
-    # forward is NOT re-run — the combined kernel below recomputes the
-    # softmax once and emits ctx
+    # don't fit VMEM, and all rectangular compact-training layers):
+    # recompute qkv with one XLA matmul; the attention forward is NOT
+    # re-run — the combined kernel below recomputes the softmax once and
+    # emits ctx
     qkv = (x @ wqkv + bqkv).reshape(b, np_, 3, num_heads, dh)
     q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
 
@@ -673,7 +678,7 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     dctx = dctx2.reshape(b, np_, num_heads, dh).transpose(0, 2, 1, 3)
     ctx, dq, dk, dv = _call_bwd_ctx(q, k, v, dctx.astype(q.dtype), scale,
                                     n_valid, interpret)
-    ctx_flat = ctx.transpose(0, 2, 1, 3).reshape(b, np_, d)
+    ctx_flat = ctx.transpose(0, 2, 1, 3).reshape(b, np_, da)
     dwproj = jnp.einsum(
         "bnd,bne->de", (ctx_flat * mask).astype(jnp.float32),
         dout32).astype(wproj.dtype)
@@ -682,7 +687,7 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
         * ctx_flat.astype(jnp.float32),
         axis=(0, 1)).astype(mask.dtype)
     dqkv = jnp.stack([dq, dk, dv], axis=2)            # [B, H, 3, N, dh]
-    dqkv = dqkv.transpose(0, 3, 2, 1, 4).reshape(b, np_, 3 * d)
+    dqkv = dqkv.transpose(0, 3, 2, 1, 4).reshape(b, np_, 3 * da)
     dx = dqkv @ wqkv.T
     dwqkv = jnp.einsum("bnd,bne->de", x.astype(jnp.float32),
                        dqkv.astype(jnp.float32)).astype(wqkv.dtype)
@@ -982,9 +987,9 @@ def _fused_layer_ln_bwd(scale, n_valid, num_heads, eps, interpret, res,
                         dout):
     x, g1, b1, wqkv, bqkv, wproj, bproj, mask = res
     b, np_, d = x.shape
-    assert wqkv.shape[1] == 3 * d, (
-        "LN-fused sublayer requires square model/attention widths")
-    g = _layer_ln_bwd_group(b, d, np_)
+    # rectangular (compact stage-2 training) widths peel the LN and
+    # delegate — the delegate's composed fallback handles da != d
+    g = _layer_ln_bwd_group(b, d, np_) if wqkv.shape[1] == 3 * d else None
     if g is not None:
         dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dmask = \
             _call_layer_ln_bwd(x, g1, b1, wqkv, bqkv, wproj, mask, dout,

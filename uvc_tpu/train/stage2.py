@@ -12,6 +12,7 @@ overhead.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Optional
 
@@ -42,8 +43,20 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                world_batch: Optional[int] = None,
                save_checkpoints: bool = True, mesh=None, mp: int = 1,
                steps_per_launch: int = 1, resume: Optional[str] = None,
-               use_orbax: bool = False,
+               use_orbax: bool = False, compact: bool = False,
                logger: Optional[MetricLogger] = None) -> Stage2Result:
+    """``compact=True`` fine-tunes the PHYSICALLY COMPACTED model
+    (train/compact_ft.py): dropped blocks removed, pruned heads sliced
+    out, kept MLP units lane-padded — exactly the masked-dense update
+    trajectory on the kept coordinates at genuinely reduced FLOPs (the
+    reference computes the whole 150-epoch stage-2 at dense shapes:
+    post_train.py:357-360).  Checkpoints and eval stay dense-layout via
+    scatter_to_dense, so compact runs interoperate with every dense
+    checkpoint consumer; resuming a compact run re-compacts the restored
+    dense params (the saved opt_state is compact-shaped — resume compact
+    runs with compact=True).  Tensor-parallel (mp > 1) shardings are not
+    plumbed for the per-layer compact tree; DP meshes work (replicated
+    params)."""
     logger = logger or MetricLogger(output_dir, name)
     if teacher_params is None:
         teacher_params = params
@@ -54,8 +67,27 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
     thp = dataclasses.replace(
         thp, learning_rate=thp.learning_rate * world_batch / 512.0)
 
-    # copy params into the (donated) train state: callers keep their buffers
-    state = create_train_state(jax.tree.map(jnp.copy, params), thp, None)
+    cmeta = None
+    if compact:
+        from uvc_tpu.train.compact_ft import (compact_train_tree,
+                                              scatter_to_dense)
+        if mesh is not None and mp > 1:
+            raise ValueError("compact stage-2 supports data-parallel "
+                             "meshes only (mp == 1)")
+        dense_template = jax.tree.map(jnp.copy, params)
+        ctree, cmeta = compact_train_tree(params, masks, cfg)
+        to_dense = lambda p: jax.tree.map(  # noqa: E731
+            jnp.asarray, scatter_to_dense(p, cmeta, dense_template, masks))
+        state = create_train_state(ctree, thp, None)
+        logger.info(
+            f"[compact] training {len(ctree['layers'])} of "
+            f"{len(cmeta.block_keep)} blocks at sliced shapes")
+    else:
+        to_dense = lambda p: p  # noqa: E731
+        # copy params into the (donated) train state: callers keep their
+        # buffers
+        state = create_train_state(jax.tree.map(jnp.copy, params), thp,
+                                   None)
     start_epoch = 0
     resumed_step = 0
     resumed_best = 0.0
@@ -76,10 +108,21 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             ck = OrbaxManager(resume).restore()
         else:
             ck = load_checkpoint(resume)
+        if compact:
+            # checkpoints are dense-layout — re-slice the restored params;
+            # the opt_state was saved compact-shaped by this mode
+            from uvc_tpu.train.compact_ft import compact_train_tree
+            restored, _ = compact_train_tree(
+                serialization.from_state_dict(
+                    jax.tree.map(jnp.asarray, dense_template),
+                    ck["params"]),
+                masks, cfg)
+        else:
+            restored = serialization.from_state_dict(state.params,
+                                                     ck["params"])
         state = state.replace(
             step=jnp.asarray(ck["global_step"], jnp.int32),
-            params=serialization.from_state_dict(state.params,
-                                                 ck["params"]),
+            params=restored,
             opt_state=serialization.from_state_dict(state.opt_state,
                                                     ck["opt_state"]))
         start_epoch = int(ck.get("epoch", -1)) + 1
@@ -105,16 +148,20 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         shard_fn = lambda t: shard_batch(t, mesh)  # noqa: E731
         prefetch_put = shard_fn
     gas = max(1, thp.accum_steps)
-    step_fn = build_stage2_step(cfg, hp, thp)
-    micro_fn = build_stage2_step(cfg, hp, thp, micro=True) if gas > 1 \
-        else None
+    if compact:
+        from uvc_tpu.train.compact_ft import build_compact_stage2_step
+        _build = functools.partial(build_compact_stage2_step,
+                                   cfg, hp, thp, cmeta)
+    else:
+        _build = functools.partial(build_stage2_step, cfg, hp, thp)
+    step_fn = _build()
+    micro_fn = _build(micro=True) if gas > 1 else None
     # step bundling (see stage1.py): single-device, no-accum path only
     spl = max(1, steps_per_launch)
     if spl > 1 and (mesh is not None or gas > 1):
         logger.info("steps_per_launch ignored (mesh or grad-accum active)")
         spl = 1
-    bundle_fn = build_stage2_step(cfg, hp, thp, bundle=spl) if spl > 1 \
-        else None
+    bundle_fn = _build(bundle=spl) if spl > 1 else None
     steps_per_epoch = len(train_loader)
     eval_step = build_eval_step(cfg, hp, thp, masked=True)
 
@@ -172,7 +219,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                 if (eval_every and test_loader is not None
                         and global_step // eval_every
                         != (global_step - adv) // eval_every):
-                    acc = run_validation(eval_step, state.params, masks,
+                    acc = run_validation(eval_step, to_dense(state.params), masks,
                                          test_loader, logger, global_step,
                                          shard_fn=(None if mesh is None
                                                    else shard_fn))
@@ -181,7 +228,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                         if save_checkpoints:
                             save_checkpoint(
                                 f"{logger.dir}/{cfg.name}_best.ckpt",
-                                {"params": state.params, "masks": masks,
+                                {"params": to_dense(state.params), "masks": masks,
                                  "step": global_step, "acc": acc})
                 continue
             key, sub = jax.random.split(key)
@@ -199,7 +246,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                     "train/lr": metrics["lr"]})
             if (eval_every and global_step % eval_every == 0
                     and test_loader is not None):
-                acc = run_validation(eval_step, state.params, masks,
+                acc = run_validation(eval_step, to_dense(state.params), masks,
                                      test_loader, logger, global_step,
                                      shard_fn=(None if mesh is None
                                                else shard_fn))
@@ -208,7 +255,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                     if save_checkpoints:
                         save_checkpoint(
                             f"{logger.dir}/{cfg.name}_best.ckpt",
-                            {"params": state.params, "masks": masks,
+                            {"params": to_dense(state.params), "masks": masks,
                              "step": global_step, "acc": acc})
         dt = time.time() - t0
         if losses.count == 0 and metrics is not None:
@@ -220,7 +267,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
             from flax import serialization
 
             # resumable per-epoch state, symmetric with stage 1
-            tree = {"params": state.params,
+            tree = {"params": to_dense(state.params),
+                    "compact": compact,
                     "opt_state": serialization.to_state_dict(
                         state.opt_state),
                     "masks": masks, "epoch": epoch,
@@ -233,7 +281,7 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                     f"{logger.dir}/{cfg.name}_post_{epoch}.ckpt", tree)
 
     if test_loader is not None:
-        acc = run_validation(eval_step, state.params, masks, test_loader,
+        acc = run_validation(eval_step, to_dense(state.params), masks, test_loader,
                              logger, global_step,
                              shard_fn=(None if mesh is None
                                        else shard_fn))
