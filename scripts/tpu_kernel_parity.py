@@ -167,6 +167,65 @@ def check_ln(name, b, n, d, heads, tol=2e-2):
     return all_ok
 
 
+def check_ln_rect(name, b, n, d, da, heads, tol=2e-2):
+    """Rectangular widths (attention width da < model width d): the
+    compact stage-2 training layers (train/compact_ft.py).  The LN-fused
+    sublayer forward AND its single-program backward must match autodiff
+    through the rectangular composition on-chip."""
+    scale = (da // heads) ** -0.5
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (b, n, d), dt)
+    g1 = 1.0 + 0.1 * jax.random.normal(ks[6], (d,))
+    b1 = 0.1 * jax.random.normal(ks[7], (d,))
+    wqkv = jax.random.normal(ks[1], (d, 3 * da), dt) * 0.05
+    bqkv = jax.random.normal(ks[2], (3 * da,), dt) * 0.05
+    wproj = jax.random.normal(ks[3], (da, d), dt) * 0.05
+    bproj = jax.random.normal(ks[4], (d,), dt) * 0.05
+    mask = (jax.random.uniform(ks[5], (da,)) > 0.25).astype(dt)
+    args = (x, g1, b1, wqkv, bqkv, wproj, bproj, mask)
+
+    def composed_rect(x, g1, b1, wqkv, bqkv, wproj, bproj, mask):
+        dh = da // heads
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        a_in = ((x32 - mu) * jax.lax.rsqrt(var + 1e-6) * g1 + b1) \
+            .astype(x.dtype)
+        qkv = (a_in @ wqkv + bqkv).reshape(b, n, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ctx = reference_attention(q, k, v, scale)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, n, da) * mask
+        return x + ctx @ wproj + bproj
+
+    bwd_kind = ("ln-fused-rect-bwd"
+                if _layer_ln_bwd_group(b, d, _pad_rows(n), da) is not None
+                else "ln-peel-rect-bwd")
+    fused = jax.jit(lambda *a: fused_layer_attention_ln(
+        *a, num_heads=heads, scale=scale, eps=1e-6))
+    oracle = jax.jit(composed_rect)
+    of, oo = jax.device_get(fused(*args)), jax.device_get(oracle(*args))
+    all_ok = record(name, "ln-rect fwd", rel_err(of, oo), tol)
+
+    def loss_f(*a):
+        return jnp.sum(fused_layer_attention_ln(
+            *a, num_heads=heads, scale=scale,
+            eps=1e-6).astype(jnp.float32) ** 2)
+
+    def loss_o(*a):
+        return jnp.sum(composed_rect(*a).astype(jnp.float32) ** 2)
+
+    gf = jax.device_get(jax.jit(jax.grad(loss_f, argnums=tuple(range(8))))(
+        *args))
+    go = jax.device_get(jax.jit(jax.grad(loss_o, argnums=tuple(range(8))))(
+        *args))
+    names = ["dx", "dg1", "db1", "dwqkv", "dbqkv", "dwproj", "dbproj",
+             "dmask"]
+    for nm, a_, b_ in zip(names, gf, go):
+        all_ok &= record(name, f"{bwd_kind} {nm}", rel_err(a_, b_), 3 * tol)
+    return all_ok
+
+
 def check_performer(tol=3e-2):
     """Fused performer stage (ops/performer.py) vs composed XLA at the
     real T2T stem shapes, on-chip, bf16, fwd + grads."""
@@ -225,6 +284,10 @@ def main():
     for name, b, n, d, heads in SHAPES:
         ok &= check(name, b, n, d, heads)
         ok &= check_ln(name, b, n, d, heads)
+    # compact stage-2 widths: half the heads / half+lane-padded MLP of
+    # Small and Base (train/compact_ft.py layers)
+    ok &= check_ln_rect("compact_small", 64, 198, 384, 192, 3)
+    ok &= check_ln_rect("compact_base", 32, 198, 768, 384, 6)
     ok &= check_performer()
     wall = time.time() - t0
     if opts.out:

@@ -148,6 +148,37 @@ def test_compact_step_padding_and_vmask_stay_zero():
     assert saw_vmasked, "setup should include a within-head-pruned layer"
 
 
+def test_compact_remat_replay_dces_forward_kernels():
+    """Same perf invariant as the dense scan
+    (test_attention_kernel.py::test_remat_replay_dces_forward_kernels)
+    for the compact per-layer checkpoint: with both sublayers as
+    custom-VJP Pallas ops and the "attn_out" save policy, the trace must
+    hold exactly 4 pallas calls PER LAYER (attn fwd, mlp fwd, mlp bwd,
+    attn bwd) — the unrolled layers don't share a scan body, so the count
+    scales with kept layers."""
+    from uvc_tpu.ops import attention as attn_mod
+
+    params, masks = _setup()
+    ctree, meta = compact_train_tree(params, masks, CFG)
+    x = jax.random.normal(jax.random.PRNGKey(5),
+                          (2, CFG.img_size, CFG.img_size, CFG.in_chans))
+
+    old = attn_mod._FORCE_FUSED_INTERPRET
+    attn_mod._FORCE_FUSED_INTERPRET = True
+    try:
+        def loss(ct):
+            out = apply_compact_ft(ct, meta, x, CFG, dtype=jnp.float32)
+            return jnp.sum(out.logits ** 2)
+
+        jaxpr = jax.make_jaxpr(jax.value_and_grad(loss))(ctree)
+    finally:
+        attn_mod._FORCE_FUSED_INTERPRET = old
+    n_calls = str(jaxpr).count("pallas_call")
+    expect = 4 * len(ctree["layers"])
+    assert n_calls == expect, (
+        f"expected {expect} pallas calls in the trace, got {n_calls}")
+
+
 def test_scatter_to_dense_roundtrip():
     """scatter(compact(params)) restores every kept coordinate and leaves
     masked/dropped ones at the template values."""

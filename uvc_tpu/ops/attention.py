@@ -611,11 +611,16 @@ def _fused_layer_bwd(scale, n_valid, num_heads, interpret, res, dout):
     da = wqkv.shape[1] // 3           # attention width: != d for the
     dh = da // num_heads              # compact stage-2 training layers
     if da != d:
-        # rectangular widths (train/compact_ft.py): the fused weight-grad
-        # accumulator kernels assume square blocks — route to the composed
-        # fallback below, which keeps the heavy part (softmax recompute +
-        # dq/dk/dv + ctx) in the combined Pallas kernel
-        ng = None
+        # rectangular widths (train/compact_ft.py): the combined backward
+        # kernel and its call wrapper are already width-generic — the
+        # head-group-split path below feeds them rectangular [d, 3*dg]
+        # slices — so run the whole-sublayer kernel directly at the
+        # compact width when its accumulators fit VMEM, else fall through
+        # to the composed path (which still keeps the softmax recompute +
+        # dq/dk/dv in the _bwd_ctx kernel)
+        ng, g = (1, _layer_bwd_group(b, d, da, np_))
+        if g is None:
+            ng = None
     else:
         ng, g = _head_group_split(b, d, num_heads, np_)
     if ng == 1:
@@ -881,17 +886,20 @@ def _layer_ln_bwd_kernel(x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref,
         dmask_ref[...] += jnp.sum(t * ctx, axis=0, keepdims=True)
 
 
-def _layer_ln_bwd_group(b: int, d: int, np_: int) -> Optional[int]:
-    """VMEM budget for the LN-fused backward (square widths only): the
-    _layer_bwd_group estimate plus the LN's f32 row temporaries
-    (x32/xhat/da/dz) and the dg1/db1 accumulators."""
+def _layer_ln_bwd_group(b: int, d: int, np_: int,
+                        da: Optional[int] = None) -> Optional[int]:
+    """VMEM budget for the LN-fused backward: the _layer_bwd_group
+    estimate plus the LN's f32 row temporaries (x32/xhat/da/dz) and the
+    dg1/db1 accumulators.  ``da`` is the attention width (== d for the
+    square training layers; smaller for compact stage-2 layers)."""
     forced = _env_group("UVC_ATTN_BWD_G")
     if forced:
         return forced
-    weights = 4 * d * d * 2
-    accums = 4 * d * d * 4 + 2 * d * 4
-    scratch = (np_ * 3 * d * 2 * 2
-               + np_ * d * 10
+    da = d if da is None else da
+    weights = 4 * d * da * 2
+    accums = 4 * d * da * 4 + 2 * d * 4
+    scratch = (np_ * 3 * da * 2 * 2
+               + np_ * da * 10
                + 3 * np_ * np_ * 4
                + 4 * np_ * d * 4)              # LN f32 temporaries
     # g=8 reachable for narrow widths (DeiT-Tiny) — halves the number of
@@ -945,26 +953,28 @@ def _call_layer_ln_bwd(x, g1, b1, wqkv, bqkv, wproj, mask, do, scale,
                             memory_space=mspace)
 
     f32 = jnp.float32
+    da = wqkv.shape[1] // 3           # attention width (== d unless the
+    # layer is a compact stage-2 one — the kernel body is width-generic)
     # sequential grid + constant-index_map accumulators (see
     # _call_layer_bwd) — do NOT mark the grid parallel
     return pl.pallas_call(
         functools.partial(_layer_ln_bwd_kernel, scale=scale,
-                          n_valid=n_valid, heads=num_heads, group=g, d=d,
+                          n_valid=n_valid, heads=num_heads, group=g, d=da,
                           eps=eps),
         grid=(b // g,),
-        in_specs=[xspec, cspec((d,)), cspec((d,)), cspec((d, 3 * d)),
-                  cspec((3 * d,)), cspec((d, d)), cspec((d,)), xspec],
-        out_specs=(xspec, cspec((1, d)), cspec((1, d)), cspec((d, 3 * d)),
-                   cspec((1, 3 * d)), cspec((d, d)), cspec((1, d)),
-                   cspec((1, d))),
+        in_specs=[xspec, cspec((d,)), cspec((d,)), cspec((d, 3 * da)),
+                  cspec((3 * da,)), cspec((da, d)), cspec((da,)), xspec],
+        out_specs=(xspec, cspec((1, d)), cspec((1, d)), cspec((d, 3 * da)),
+                   cspec((1, 3 * da)), cspec((da, d)), cspec((1, d)),
+                   cspec((1, da))),
         out_shape=(jax.ShapeDtypeStruct((b, np_, d), x.dtype),
                    jax.ShapeDtypeStruct((1, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((d, 3 * d), f32),
-                   jax.ShapeDtypeStruct((1, 3 * d), f32),
-                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * da), f32),
+                   jax.ShapeDtypeStruct((1, 3 * da), f32),
+                   jax.ShapeDtypeStruct((da, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32),
-                   jax.ShapeDtypeStruct((1, d), f32)),
+                   jax.ShapeDtypeStruct((1, da), f32)),
         interpret=interpret,
     )(x, g1, b1, wqkv, bqkv, wproj, mask, do)
 
@@ -987,9 +997,10 @@ def _fused_layer_ln_bwd(scale, n_valid, num_heads, eps, interpret, res,
                         dout):
     x, g1, b1, wqkv, bqkv, wproj, bproj, mask = res
     b, np_, d = x.shape
-    # rectangular (compact stage-2 training) widths peel the LN and
-    # delegate — the delegate's composed fallback handles da != d
-    g = _layer_ln_bwd_group(b, d, np_) if wqkv.shape[1] == 3 * d else None
+    # the kernel + wrapper are width-generic: rectangular (compact
+    # stage-2 training) widths run the same single-program backward with
+    # a smaller attention width, budget permitting
+    g = _layer_ln_bwd_group(b, d, np_, wqkv.shape[1] // 3)
     if g is not None:
         dx, dg1, db1, dwqkv, dbqkv, dwproj, dbproj, dmask = \
             _call_layer_ln_bwd(x, g1, b1, wqkv, bqkv, wproj, mask, dout,
