@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from uvc_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache(os.environ.get("UVC_COMPILE_CACHE",
+                                        "/tmp/uvc_jaxcache"))
+
 MODELS = {
     "tiny": ("deit_tiny_patch16_224", 512),
     "small": ("deit_small_patch16_224", 256),
@@ -107,6 +112,17 @@ def attrib(name):
                                enable_pruning=False, gating_interval=100)
     if not _skip("noarch_nogate"):
         _row("noarch_nogate", bench_step(hp_noarch, thp))
+
+    # splits of the arch+gate delta:
+    #   full - nopatch  = token-selection fwd/bwd (scorer + gumbel top-k)
+    #   full - noprune  = prox + scores + s/r primal/dual machinery
+    hp_nopatch = MinimaxHParams(enable_patch_gating=0, gating_interval=100)
+    if not _skip("nopatch"):
+        _row("nopatch", bench_step(hp_nopatch, thp))
+    hp_noprune = MinimaxHParams(enable_patch_gating=2, enable_pruning=False,
+                                gating_interval=100)
+    if not _skip("noprune"):
+        _row("noprune", bench_step(hp_noprune, thp))
 
     import dataclasses
     thp_nomix = dataclasses.replace(thp, mixup=0.0, cutmix=0.0)
@@ -199,6 +215,10 @@ def attrib(name):
         deltas = (f"  deltas: arch+gate={full - per_step['noarch_nogate']:.2f}"
                   f"  mixup={full - per_step['nomixup']:.2f}"
                   f"  teacher_in_step={full - per_step['noteacher']:.2f}")
+        if "nopatch" in per_step:
+            deltas += f"  tokensel={full - per_step['nopatch']:.2f}"
+        if "noprune" in per_step:
+            deltas += f"  prune_update={full - per_step['noprune']:.2f}"
         if "fwdonly" in per_step:
             deltas += f"  bwd+opt={full - per_step['fwdonly']:.2f}"
         print(deltas)
