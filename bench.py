@@ -122,26 +122,39 @@ def bench_model(config_name, batch, steps, *, on_tpu):
         state = run_once(state, key)     # compile + warm
         fallback = False
     except Exception as e:               # noqa: BLE001
-        # the round-3 LN-fused kernels are interpret-tested but compile
-        # on the real chip for the first time here — if Mosaic rejects
-        # them, fall back to the round-2-proven separate-LN kernels so
-        # the round still records a benchmark
+        # staged fallback: the fused kernels are interpret-tested but
+        # compile on the real chip for the first time here.  Stage 1:
+        # drop only the blend fusion (newest kernel).  Stage 2: fall all
+        # the way back to the round-2-proven separate-LN kernels.
+        # run_once reads `step` at call time, so rebinding it suffices.
         import sys
 
         from uvc_tpu.models import vit as vit_mod
         from uvc_tpu.ops import performer as perf_mod
-        print(f"fused-kernel compile failed ({type(e).__name__}); "
-              f"falling back to round-2 kernels", file=sys.stderr)
-        vit_mod._FUSED_MLP = False
-        vit_mod._FUSED_ATTN_LN = False
-        perf_mod._MERGED_DEFAULT = False
-        step = build_stage1_step(cfg, table, hp, thp, warmup=False,
-                                 donate=False, bundle=bundle)
-        state = create_train_state(
-            model.init_params(jax.random.PRNGKey(0), cfg), thp,
-            init_compression_state(cfg, hp))
-        state = run_once(state, key)
-        fallback = True
+        try:
+            print(f"fused compile failed ({type(e).__name__}); retrying "
+                  f"without the blend fusion", file=sys.stderr)
+            vit_mod._FUSED_BLEND = False
+            step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                     donate=False, bundle=bundle)
+            state = create_train_state(
+                model.init_params(jax.random.PRNGKey(0), cfg), thp,
+                init_compression_state(cfg, hp))
+            state = run_once(state, key)
+            fallback = "blend"
+        except Exception as e2:          # noqa: BLE001
+            print(f"still failing ({type(e2).__name__}); falling back to "
+                  f"round-2 kernels", file=sys.stderr)
+            vit_mod._FUSED_MLP = False
+            vit_mod._FUSED_ATTN_LN = False
+            perf_mod._MERGED_DEFAULT = False
+            step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                     donate=False, bundle=bundle)
+            state = create_train_state(
+                model.init_params(jax.random.PRNGKey(0), cfg), thp,
+                init_compression_state(cfg, hp))
+            state = run_once(state, key)
+            fallback = True
     t0 = time.perf_counter()
     for i in range(steps // bundle):
         key, sub = jax.random.split(key)

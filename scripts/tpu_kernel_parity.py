@@ -226,6 +226,52 @@ def check_ln_rect(name, b, n, d, da, heads, tol=2e-2):
     return all_ok
 
 
+def check_blend(name, b, n, d, f, tol=2e-2):
+    """Blend-fused MLP sublayer (ops/mlp.py fused_mlp_ln_blend: LN2 + fc1
+    + GELU + mask + fc2 + residual + block-gating blend, with the gating
+    grads dd0/dd1 rebuilt in-kernel) vs the XLA composition, on-chip."""
+    from uvc_tpu.ops.mlp import (_composed_mlp_ln_blend,
+                                 _mlp_blend_bwd_group, fused_mlp_ln_blend)
+    ks = jax.random.split(jax.random.PRNGKey(5), 10)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (b, n, d), dt)
+    xin = jax.random.normal(ks[1], (b, n, d), dt)
+    dd = jax.nn.softmax(jax.random.normal(ks[2], (2,))).astype(jnp.float32)
+    g2 = 1.0 + 0.1 * jax.random.normal(ks[3], (d,))
+    b2 = 0.1 * jax.random.normal(ks[4], (d,))
+    wfc1 = jax.random.normal(ks[5], (d, f), dt) * 0.05
+    bfc1 = jax.random.normal(ks[6], (f,), dt) * 0.05
+    wfc2 = jax.random.normal(ks[7], (f, d), dt) * 0.05
+    bfc2 = jax.random.normal(ks[8], (d,), dt) * 0.05
+    mask = (jax.random.uniform(ks[9], (f,)) > 0.25).astype(dt)
+    args = (x, xin, dd, g2, b2, wfc1, bfc1, wfc2, bfc2, mask)
+    bwd_kind = ("blend-bwd" if _mlp_blend_bwd_group(
+        b, d, f, _pad_rows(n), full=True) is not None else "blend-bwd-split")
+
+    fused = jax.jit(lambda *a: fused_mlp_ln_blend(*a, eps=1e-6))
+    oracle = jax.jit(lambda *a: _composed_mlp_ln_blend(*a, 1e-6))
+    of, oo = jax.device_get(fused(*args)), jax.device_get(oracle(*args))
+    all_ok = record(name, "blend fwd", rel_err(of, oo), tol)
+
+    def loss_f(*a):
+        return jnp.sum(fused_mlp_ln_blend(
+            *a, eps=1e-6).astype(jnp.float32) ** 2)
+
+    def loss_o(*a):
+        return jnp.sum(_composed_mlp_ln_blend(
+            *a, 1e-6).astype(jnp.float32) ** 2)
+
+    gf = jax.device_get(jax.jit(jax.grad(loss_f, argnums=tuple(range(10))))(
+        *args))
+    go = jax.device_get(jax.jit(jax.grad(loss_o, argnums=tuple(range(10))))(
+        *args))
+    names = ["dx", "dxin", "dd", "dg2", "db2", "dwfc1", "dbfc1", "dwfc2",
+             "dbfc2", "dmask"]
+    for nm, a_, b_ in zip(names, gf, go):
+        all_ok &= record(name, f"{bwd_kind} {nm}", rel_err(a_, b_), 3 * tol)
+    return all_ok
+
+
 def check_performer(tol=3e-2):
     """Fused performer stage (ops/performer.py) vs composed XLA at the
     real T2T stem shapes, on-chip, bf16, fwd + grads."""
@@ -288,6 +334,13 @@ def main():
     # Small and Base (train/compact_ft.py layers)
     ok &= check_ln_rect("compact_small", 64, 198, 384, 192, 3)
     ok &= check_ln_rect("compact_base", 32, 198, 768, 384, 6)
+    # gated-block blend fusion (stage-1 hot path): Tiny unsplit, Small/Base
+    # hidden-split backward, T2T's 3x ratio
+    for bname, bb, bn, bd, bf in [("deit_tiny", 64, 198, 192, 768),
+                                  ("deit_small", 64, 198, 384, 1536),
+                                  ("deit_base", 32, 198, 768, 3072),
+                                  ("t2t_14", 64, 197, 384, 1152)]:
+        ok &= check_blend(bname, bb, bn, bd, bf)
     ok &= check_performer()
     wall = time.time() - t0
     if opts.out:

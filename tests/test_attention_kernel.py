@@ -447,6 +447,78 @@ def test_fused_mlp_ln_wide_fallback_vjp():
                                    rtol=5e-2, atol=1e-1, err_msg=name)
 
 
+# ---------------------------------------------------------------------------
+# Blend-fused MLP sublayer (sublayer + block-gating blend in one program)
+# ---------------------------------------------------------------------------
+
+
+def _blend_inputs(b=2, n=12, d=16, f=32, w_scale=0.1):
+    x, g2, b2, wfc1, bfc1, wfc2, bfc2, mask = _mlp_inputs(
+        b, n, d, f, w_scale)
+    ks = jax.random.split(jax.random.PRNGKey(77), 2)
+    xin = jax.random.normal(ks[0], (b, n, d))
+    dd = jax.nn.softmax(jax.random.normal(ks[1], (2,))).astype(jnp.float32)
+    return x, xin, dd, g2, b2, wfc1, bfc1, wfc2, bfc2, mask
+
+
+def test_fused_mlp_ln_blend_fwd_matches_composition():
+    from uvc_tpu.ops.mlp import _composed_mlp_ln_blend, fused_mlp_ln_blend
+    args = _blend_inputs()
+    ref = _composed_mlp_ln_blend(*args, 1e-6)
+    out = fused_mlp_ln_blend(*args, eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_fused_mlp_ln_blend_vjp_matches_composition():
+    """All ten grads of the blended backward — incl. the gating grads
+    dd0/dd1 rebuilt in-kernel (sum(do*x) + sum(dam0*am) + colsum(do)@bfc2
+    instead of sum(do*out)) and the dxin = d0*do stream."""
+    from uvc_tpu.ops.mlp import _composed_mlp_ln_blend, fused_mlp_ln_blend
+    args = _blend_inputs()
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_mlp_ln_blend(*a, 1e-6) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp_ln_blend(*a, eps=1e-6,
+                                          interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    for name, a, b_ in zip(["dx", "dxin", "dd", "dg2", "db2", "dwfc1",
+                            "dbfc1", "dwfc2", "dbfc2", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=5e-2, err_msg=name)
+
+
+def test_fused_mlp_ln_blend_split_vjp():
+    """DeiT-Small/Base widths route the blended backward through the
+    hidden-group split (part 0 full: residual + xin/bias/dd0 terms; parts
+    > 0 lite: slice grads + their sum(dam0*am) share of dd1)."""
+    from uvc_tpu.ops.mlp import (_composed_mlp_ln_blend,
+                                 _mlp_blend_bwd_group, _pad_rows,
+                                 fused_mlp_ln_blend)
+    b, n, d, f = 1, 12, 768, 3072
+    assert _mlp_blend_bwd_group(b, d, f, _pad_rows(n), full=True) is None, \
+        "expected the split path at d=768/f=3072"
+    args = _blend_inputs(b, n, d, f, w_scale=0.02)
+
+    def loss_ref(*a):
+        return jnp.sum(_composed_mlp_ln_blend(*a, 1e-6) ** 2)
+
+    def loss_fused(*a):
+        return jnp.sum(fused_mlp_ln_blend(*a, eps=1e-6,
+                                          interpret=True) ** 2)
+
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    gf = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    for name, a, b_ in zip(["dx", "dxin", "dd", "dg2", "db2", "dwfc1",
+                            "dbfc1", "dwfc2", "dbfc2", "dmask"], gr, gf):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-2, atol=1e-1, err_msg=name)
+
+
 def test_remat_replay_dces_forward_kernels():
     """The perf-critical remat invariant: under the block scan's
     save_only_these_names("attn_out") policy with BOTH sublayers as

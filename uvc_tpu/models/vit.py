@@ -38,6 +38,7 @@ from uvc_tpu.ops.gumbel import gumbel_topk_mask
 # to the round-2-proven separate-LN kernels)
 _FUSED_MLP = os.environ.get("UVC_FUSED_MLP", "1") != "0"
 _FUSED_ATTN_LN = os.environ.get("UVC_FUSED_ATTN_LN", "1") != "0"
+_FUSED_BLEND = os.environ.get("UVC_FUSED_BLEND", "1") != "0"
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +200,27 @@ def _mlp_ln(x, blk, mlp_mask_row, eps, dtype):
         else jnp.ones((f,), dtype)
     return mlp_ln(
         x, blk["ln2"]["scale"], blk["ln2"]["bias"],
+        blk["fc1"]["kernel"].astype(dtype),
+        blk["fc1"]["bias"].astype(dtype),
+        blk["fc2"]["kernel"].astype(dtype),
+        blk["fc2"]["bias"].astype(dtype), mask, eps=eps)
+
+
+def _mlp_ln_blend(x, xin, distrib, blk, mlp_mask_row, eps, dtype):
+    """distrib[1]*(x + mlp_sublayer(LN2(x))) + distrib[0]*xin as ONE fused
+    Pallas program each way (ops/mlp.py): absorbs the stage-1 block-gating
+    blend (reference model_distilled.py:477-507) into the MLP sublayer
+    kernel.  The pre-blend block output never reaches HBM and is no longer
+    remat-saved ("block_out") — its only backward consumer, the gating
+    gradient sum(do*out), is computed in-kernel from VMEM-resident values.
+    A/B: UVC_FUSED_BLEND=0 restores the separate XLA blend."""
+    from uvc_tpu.ops.mlp import mlp_ln_blend
+    f = blk["fc1"]["kernel"].shape[-1]
+    mask = mlp_mask_row.astype(dtype) if mlp_mask_row is not None \
+        else jnp.ones((f,), dtype)
+    d = distrib.astype(jnp.float32)
+    return mlp_ln_blend(
+        x, xin, d, blk["ln2"]["scale"], blk["ln2"]["bias"],
         blk["fc1"]["kernel"].astype(dtype),
         blk["fc1"]["bias"].astype(dtype),
         blk["fc2"]["kernel"].astype(dtype),
@@ -399,7 +421,7 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
         h, accum = carry if jumping else (carry, None)
         blk, distrib, a_d, m_d, attn_m, mlp_m, dp_key, dp_rate = inp
 
-        def run_block(z):
+        def attn_sub(z):
             if a_d is None and not use_dp and _FUSED_ATTN_LN:
                 # LN1 + sublayer + residual as one fused program; the remat
                 # name moves to the post-residual sum, so the backward
@@ -427,6 +449,9 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                          + a_d[1].astype(dtype) * a_out)
                 else:
                     z = z + a_out
+            return z
+
+        def mlp_sub(z):
             if m_d is None and not use_dp and _FUSED_MLP:
                 z = _mlp_ln(z, blk, mlp_m, eps, dtype)
             else:
@@ -448,19 +473,31 @@ def transformer_encode(params: dict, x: jax.Array, cfg: ViTConfig, *,
                     z = z + m_out
             return z
 
-        out = run_block(h)
-        if distrib is not None:
-            # the blend's gating gradient d(loss)/d(distrib[1]) = sum(do*out)
-            # needs the block output in the backward; without saving it the
-            # remat replay re-runs the ENTIRE fused MLP forward kernel per
-            # block (~56% of a block's forward FLOPs) just to rebuild `out`.
-            # Naming it costs no HBM traffic — the MLP kernel already wrote
-            # it; saving only keeps it alive ([B, N, D] per block).
-            out = checkpoint_name(out, "block_out")
-            h = (distrib[1].astype(dtype) * out
-                 + distrib[0].astype(dtype) * h)
+        z_attn = attn_sub(h)
+        if (distrib is not None and m_d is None and not use_dp
+                and _FUSED_MLP and _FUSED_BLEND):
+            # block-gated hot path: MLP sublayer + gating blend as one
+            # fused program each way.  The pre-blend block output never
+            # materializes, so no "block_out" remat save either — the
+            # gating gradient sum(do*out) is rebuilt in-kernel (see
+            # ops/mlp.py _mlp_ln_blend_bwd_kernel)
+            h = _mlp_ln_blend(z_attn, h, distrib, blk, mlp_m, eps, dtype)
         else:
-            h = out
+            out = mlp_sub(z_attn)
+            if distrib is not None:
+                # separate-blend fallback (UVC_FUSED_BLEND=0 / part-gated /
+                # drop-path variants): the blend's gating gradient
+                # d(loss)/d(distrib[1]) = sum(do*out) needs the block
+                # output in the backward; without saving it the remat
+                # replay re-runs the ENTIRE fused MLP forward kernel per
+                # block (~56% of a block's forward FLOPs) just to rebuild
+                # `out`.  Naming it costs no HBM traffic — the MLP kernel
+                # already wrote it; saving only keeps it alive.
+                out = checkpoint_name(out, "block_out")
+                h = (distrib[1].astype(dtype) * out
+                     + distrib[0].astype(dtype) * h)
+            else:
+                h = out
         if jumping:
             # accumulate every block's output (model_distilled.py:502-506);
             # the accumulator is only carried when jumping is on — it costs
