@@ -118,48 +118,56 @@ def bench_model(config_name, batch, steps, *, on_tpu):
             float(jax.device_get(m["loss"].ravel()[-1]))
         return state
 
+    from uvc_tpu.models import vit as vit_mod
+    from uvc_tpu.ops import performer as perf_mod
+    # snapshot the kernel switches: a per-config fallback must not leak
+    # into later configs in the same process (the flags are module
+    # globals read at trace time) — each row reports its OWN state
+    saved_flags = (vit_mod._FUSED_BLEND, vit_mod._FUSED_MLP,
+                   vit_mod._FUSED_ATTN_LN, perf_mod._MERGED_DEFAULT)
     try:
-        state = run_once(state, key)     # compile + warm
-        fallback = False
-    except Exception as e:               # noqa: BLE001
-        # staged fallback: the fused kernels are interpret-tested but
-        # compile on the real chip for the first time here.  Stage 1:
-        # drop only the blend fusion (newest kernel).  Stage 2: fall all
-        # the way back to the round-2-proven separate-LN kernels.
-        # run_once reads `step` at call time, so rebinding it suffices.
-        import sys
-
-        from uvc_tpu.models import vit as vit_mod
-        from uvc_tpu.ops import performer as perf_mod
         try:
-            print(f"fused compile failed ({type(e).__name__}); retrying "
-                  f"without the blend fusion", file=sys.stderr)
-            vit_mod._FUSED_BLEND = False
-            step = build_stage1_step(cfg, table, hp, thp, warmup=False,
-                                     donate=False, bundle=bundle)
-            state = create_train_state(
-                model.init_params(jax.random.PRNGKey(0), cfg), thp,
-                init_compression_state(cfg, hp))
-            state = run_once(state, key)
-            fallback = "blend"
-        except Exception as e2:          # noqa: BLE001
-            print(f"still failing ({type(e2).__name__}); falling back to "
-                  f"round-2 kernels", file=sys.stderr)
-            vit_mod._FUSED_MLP = False
-            vit_mod._FUSED_ATTN_LN = False
-            perf_mod._MERGED_DEFAULT = False
-            step = build_stage1_step(cfg, table, hp, thp, warmup=False,
-                                     donate=False, bundle=bundle)
-            state = create_train_state(
-                model.init_params(jax.random.PRNGKey(0), cfg), thp,
-                init_compression_state(cfg, hp))
-            state = run_once(state, key)
-            fallback = True
-    t0 = time.perf_counter()
-    for i in range(steps // bundle):
-        key, sub = jax.random.split(key)
-        state = run_once(state, sub)
-    dt = time.perf_counter() - t0
+            state = run_once(state, key)     # compile + warm
+            fallback = None
+        except Exception as e:               # noqa: BLE001
+            # staged fallback: the fused kernels are interpret-tested but
+            # compile on the real chip for the first time here.  Stage 1:
+            # drop only the blend fusion (newest kernel).  Stage 2: fall
+            # all the way back to the round-2-proven separate-LN kernels.
+            # run_once reads `step` at call time, so rebinding suffices.
+            import sys
+            try:
+                print(f"fused compile failed ({type(e).__name__}); "
+                      f"retrying without the blend fusion", file=sys.stderr)
+                vit_mod._FUSED_BLEND = False
+                step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                         donate=False, bundle=bundle)
+                state = create_train_state(
+                    model.init_params(jax.random.PRNGKey(0), cfg), thp,
+                    init_compression_state(cfg, hp))
+                state = run_once(state, key)
+                fallback = "blend"
+            except Exception as e2:          # noqa: BLE001
+                print(f"still failing ({type(e2).__name__}); falling back "
+                      f"to round-2 kernels", file=sys.stderr)
+                vit_mod._FUSED_MLP = False
+                vit_mod._FUSED_ATTN_LN = False
+                perf_mod._MERGED_DEFAULT = False
+                step = build_stage1_step(cfg, table, hp, thp, warmup=False,
+                                         donate=False, bundle=bundle)
+                state = create_train_state(
+                    model.init_params(jax.random.PRNGKey(0), cfg), thp,
+                    init_compression_state(cfg, hp))
+                state = run_once(state, key)
+                fallback = "round2"
+        t0 = time.perf_counter()
+        for i in range(steps // bundle):
+            key, sub = jax.random.split(key)
+            state = run_once(state, sub)
+        dt = time.perf_counter() - t0
+    finally:
+        (vit_mod._FUSED_BLEND, vit_mod._FUSED_MLP,
+         vit_mod._FUSED_ATTN_LN, perf_mod._MERGED_DEFAULT) = saved_flags
     steps = (steps // bundle) * bundle
 
     img_per_sec = batch * steps / dt
@@ -173,7 +181,10 @@ def bench_model(config_name, batch, steps, *, on_tpu):
         "mfu": round(mfu, 4),
     }
     if fallback:
-        out["kernel_fallback"] = True
+        # the stage string distinguishes "lost only the blend fusion"
+        # from "lost the whole round-3 kernel stack" (stays truthy for
+        # existing consumers)
+        out["kernel_fallback"] = fallback
     return out
 
 
@@ -284,7 +295,7 @@ def main():
             560, bench_model, "t2t_vit_14", 256, 10, on_tpu=on_tpu)
         serving = _bounded(420, bench_serving, on_tpu)
 
-    print(json.dumps({
+    report = {
         "metric": "deit_small_stage1_uvc_train_throughput_per_chip",
         "value": small["img_per_sec"],
         "unit": "img/s",
@@ -292,7 +303,13 @@ def main():
         "mfu": small["mfu"],
         "models": models,
         "serving": serving,
-    }))
+    }
+    # headline fallback must be visible at the top level — the driver
+    # compares `value` round-over-round and needs to see when the number
+    # was produced by a degraded kernel stack (VERDICT r3 weak #3)
+    if small.get("kernel_fallback"):
+        report["kernel_fallback"] = small["kernel_fallback"]
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":
