@@ -534,6 +534,19 @@ def _call_mlp_blend_bwd(x, xin, d, g2, b2, wfc1, bfc1, wfc2, bfc2, mask,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=space)
 
+    # the blend backward's true scoped-VMEM footprint runs ~35% over the
+    # group-picker's byte model at the budget boundary (measured on-chip:
+    # 16.17M actual vs ~12M modeled at tiny B=512 g=8 — the model doesn't
+    # count dam0/am32/do32 temporaries or double-buffered accumulator
+    # outputs).  The default 16M scoped limit rejected exactly that
+    # kernel inside the full train step (BENCH_r03 "fused compile
+    # failed"); raise it to 32M — total VMEM is 128M on v5e and this
+    # kernel runs a sequential grid, so the headroom is real.
+    try:
+        compiler_params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024)}
+    except TypeError:                      # API drift: run with defaults
+        compiler_params = {}
     f32 = jnp.float32
     sd = jax.ShapeDtypeStruct
     wgrads_specs = (cspec((1, dm)), cspec((1, dm)), cspec((dm, f)),
@@ -568,6 +581,7 @@ def _call_mlp_blend_bwd(x, xin, d, g2, b2, wfc1, bfc1, wfc2, bfc2, mask,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        **({} if interpret else compiler_params),
     )(*ins)
 
 
