@@ -18,18 +18,28 @@ survives the whole pipeline, including the serving artifact:
   phase D  physical compaction (infer/compact.py) + token-slimmed
            serving, evaluated on the same held-out stream
 
+The r3 harness was SATURATED (every stage scored 1.0, so the delta gates
+were vacuous — VERDICT r3 weak #2).  r4 hardens the task (lowpass noise
+in the template band + per-image template jitter + lower contrast, see
+ProceduralLoader's knobs) so dense lands below ceiling and compression
+shows a real, bounded cost — mirroring the reference's -0.98 drop at
+50.41% FLOPs (README.md:23).
+
 Gates:
-  A1  dense accuracy >= 0.90                (the task is learnable)
-  A2  stage-2 accuracy >= dense - 0.04      (accuracy recovered at the
+  A1  0.85 <= dense accuracy <= 0.995       (learnable AND unsaturated)
+  A2  stage-2 accuracy >= dense - 0.06      (accuracy recovered at the
                                              compressed architecture)
   A3  stage-1 final Real FLOPs <= 0.62      (constraint bound)
   A4  compact (all tokens) accuracy >= stage-2 - 0.02
-  A5  token-slimmed serving accuracy >= stage-2 - 0.05
+  A5  token-slimmed serving accuracy >= stage-2 - 0.06
   A6  compact FLOPs fraction <= Real FLOPs + 0.05 (the serving artifact
       actually computes the discovered budget, vs the reference's
       dense-cost masked serving)
+  A7  slimmed compact accuracy >= masked-dense (same token drop) - 0.02
+      — bounds the serving logit drift (positional ghost rows,
+      infer/compact.py) by its measured accuracy cost, not assumption
 
-Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r03.json
+Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r04.json
 """
 
 import argparse
@@ -54,6 +64,10 @@ BATCH = 128
 CLASSES = 50
 IMG = 64
 TOKEN_RATIO = 0.7
+# difficulty (tuned with scripts/tune_procedural.py so dense lands in
+# the 0.90-0.97 band; the r3 settings — contrast .55, white noise, no
+# jitter — saturated at 1.0)
+HARD = dict(contrast=0.35, noise_mode="lowpass", jitter=8, freq=4.0)
 
 
 def serving_accuracy(layers, top, cfg, loader, *, token_ratio=None):
@@ -64,6 +78,33 @@ def serving_accuracy(layers, top, cfg, loader, *, token_ratio=None):
     def logits_of(x):
         out = apply_compact(layers, top, normalize_on_device(x), cfg,
                             token_ratio=token_ratio)
+        return 0.5 * (out.logits + out.logits_kd) if cfg.distilled \
+            else out.logits
+
+    hits = total = 0
+    for x, y in loader:
+        pred = np.asarray(jax.device_get(
+            jnp.argmax(logits_of(jnp.asarray(x)), -1)))
+        hits += int((pred == y).sum())
+        total += len(y)
+    return hits / total
+
+
+def masked_dense_accuracy(params, masks, cfg, loader, *, token_ratio,
+                          gating_distrib=None):
+    """Reference-style serving: masked weights at dense cost, with the
+    SAME deterministic token drop and frozen block decision the compact
+    path applies — the oracle the compact artifact's logit drift is
+    gated against (A7)."""
+    from uvc_tpu.data.pipeline import normalize_on_device
+    from uvc_tpu.models import vit
+
+    @jax.jit
+    def logits_of(x):
+        out = vit.apply(params, normalize_on_device(x), cfg, masks=masks,
+                        gating_distrib=gating_distrib,
+                        patch_gate_mode=2, patch_ratio=token_ratio,
+                        rng=None, train=False, dtype=jnp.float32)
         return 0.5 * (out.logits + out.logits_kd) if cfg.distilled \
             else out.logits
 
@@ -96,9 +137,11 @@ def main():
         img_size=IMG, num_classes=CLASSES)
     out = tempfile.mkdtemp(prefix="e2e_acc_")
     train = ProceduralLoader(BATCH, num_batches=STEPS, img_size=IMG,
-                             num_classes=CLASSES, train=True, seed=0)
+                             num_classes=CLASSES, train=True, seed=0,
+                             **HARD)
     test = ProceduralLoader(BATCH, num_batches=5, img_size=IMG,
-                            num_classes=CLASSES, train=False, seed=0)
+                            num_classes=CLASSES, train=False, seed=0,
+                            **HARD)
     dtype = (jnp.bfloat16 if jax.devices()[0].platform != "cpu"
              else jnp.float32)
 
@@ -166,22 +209,36 @@ def main():
 
     # ---- phase D: physical compaction + slimmed serving ----
     params2 = jax.tree.map(np.asarray, s2.state.params)
-    layers, top = compact_model(params2, s1.masks, cfg)
+    g = np.asarray(params2["block_gating"])
+    block_keep = g[:, 1] > g[:, 0]               # stage-2 frozen decision
+    layers, top = compact_model(params2, s1.masks, cfg,
+                                block_keep=block_keep)
     frac = compact_flops_fraction(layers, cfg)
     compact_acc = serving_accuracy(layers, top, cfg, test)
     slim_acc = serving_accuracy(layers, top, cfg, test,
                                 token_ratio=TOKEN_RATIO)
+    # the masked-dense oracle at the SAME architecture and token drop:
+    # isolates the compact path's ghost-row logit drift (VERDICT r3 #6)
+    gd = np.stack([1.0 - block_keep, block_keep.astype(np.float64)],
+                  axis=1).astype(np.float32)
+    md_slim_acc = masked_dense_accuracy(
+        params2, s1.masks, cfg, test, token_ratio=TOKEN_RATIO,
+        gating_distrib=jnp.asarray(gd))
     print(f"[D] {len(layers)}/{cfg.depth} blocks, compact FLOPs "
           f"{frac * 100:.1f}%: acc compact {compact_acc * 100:.1f}% "
-          f"slim {slim_acc * 100:.1f}%", flush=True)
+          f"slim {slim_acc * 100:.1f}% "
+          f"masked-dense-slim {md_slim_acc * 100:.1f}%", flush=True)
 
     gates = {
-        "A1 dense acc >= 0.90": dense_acc >= 0.90,
-        "A2 stage-2 acc >= dense - 0.04": stage2_acc >= dense_acc - 0.04,
+        "A1 0.85 <= dense acc <= 0.995":
+            0.85 <= dense_acc <= 0.995,
+        "A2 stage-2 acc >= dense - 0.06": stage2_acc >= dense_acc - 0.06,
         "A3 stage-1 real FLOPs <= 0.62": final_flops <= 0.62,
         "A4 compact acc >= stage-2 - 0.02": compact_acc >= stage2_acc - 0.02,
-        "A5 slimmed acc >= stage-2 - 0.05": slim_acc >= stage2_acc - 0.05,
+        "A5 slimmed acc >= stage-2 - 0.06": slim_acc >= stage2_acc - 0.06,
         "A6 compact FLOPs <= real + 0.05": frac <= final_flops + 0.05,
+        "A7 slim acc >= masked-dense slim - 0.02":
+            slim_acc >= md_slim_acc - 0.02,
     }
     ok = True
     for name, passed in gates.items():
@@ -205,6 +262,8 @@ def main():
                 "stage2_acc": round(stage2_acc, 4),
                 "compact_acc": round(compact_acc, 4),
                 "slim_acc": round(slim_acc, 4),
+                "masked_dense_slim_acc": round(md_slim_acc, 4),
+                "hard_settings": HARD,
                 "real_flops_final": round(final_flops, 4),
                 "compact_flops_fraction": round(float(frac), 4),
                 "blocks_kept": len(layers),

@@ -70,6 +70,59 @@ def test_eval_seed_zero():
     assert x.shape == (4, 16, 16, 3)
 
 
+def test_hard_mode_knobs():
+    """lowpass noise + jitter (the de-saturated e2e settings): correct
+    shapes, band-limited noise, and per-image template shifts."""
+    hard = ProceduralLoader(8, num_batches=1, img_size=32, num_classes=10,
+                            train=True, contrast=0.35,
+                            noise_mode="lowpass", jitter=8, seed=3)
+    x, y = _batches(hard)[0]
+    assert x.shape == (8, 32, 32, 3) and x.dtype == np.uint8
+    # lowpass noise really is band-limited: spectral mass above the
+    # cutoff must be tiny relative to below it
+    noise = hard._lowpass_noise(np.random.default_rng(0), 4)
+    spec = np.abs(np.fft.fft2(noise - noise.mean(axis=(1, 2, 3),
+                                                 keepdims=True),
+                              axes=(1, 2)))
+    fy = (np.fft.fftfreq(32) * 32)[:, None]
+    fx = (np.fft.fftfreq(32) * 32)[None, :]
+    r = np.sqrt(fx * fx + fy * fy)
+    hi = spec[:, r > hard.freq + 1, :].sum()
+    lo = spec[:, r <= hard.freq, :].sum()
+    assert hi < 0.01 * lo
+    # jitter: the same class drawn twice is (almost surely) not
+    # pixel-identical even at contrast 1.0
+    pure = ProceduralLoader(64, num_batches=1, img_size=32, num_classes=2,
+                            train=True, contrast=1.0, jitter=8, seed=3)
+    xp, yp = _batches(pure)[0]
+    cls0 = xp[yp == 0]
+    assert len(cls0) >= 2
+    assert not np.array_equal(cls0[0], cls0[1])
+
+
+def test_hard_mode_linear_probe_degrades():
+    """The de-saturation point: the pixel-space least-squares probe that
+    scores >0.9 on the default task must NOT trivially solve the hard
+    task (jitter breaks pixel-position matching)."""
+    kw = dict(num_classes=10, img_size=16, contrast=0.35,
+              noise_mode="lowpass", jitter=4, seed=11)
+    tr = ProceduralLoader(64, num_batches=8, train=True, **kw)
+    ev = ProceduralLoader(64, num_batches=4, train=False, **kw)
+    xs, ys = zip(*_batches(tr))
+    xtr = np.concatenate(xs).reshape(len(xs) * 64, -1) / 255.0
+    ytr = np.concatenate(ys)
+    onehot = np.eye(10)[ytr]
+    xtr = np.concatenate([xtr, np.ones((len(xtr), 1))], axis=1)
+    w = np.linalg.lstsq(xtr.T @ xtr + 1e-3 * np.eye(xtr.shape[1]),
+                        xtr.T @ onehot, rcond=None)[0]
+    xs, ys = zip(*_batches(ev))
+    xev = np.concatenate(xs).reshape(len(xs) * 64, -1) / 255.0
+    xev = np.concatenate([xev, np.ones((len(xev), 1))], axis=1)
+    acc = float(((xev @ w).argmax(-1) == np.concatenate(ys)).mean())
+    assert acc < 0.9, f"probe accuracy {acc} — hard task still trivial"
+    assert acc > 0.12, f"probe accuracy {acc} — no signal at all"
+
+
 def test_per_host_streams_differ():
     a = ProceduralLoader(8, num_batches=1, img_size=16, train=True,
                          seed=0, pid=0, pcount=2)

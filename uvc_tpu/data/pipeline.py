@@ -449,13 +449,32 @@ class ProceduralLoader:
     def __init__(self, batch_size: int, *, num_batches: int = 50,
                  img_size: int = 32, num_classes: int = 10,
                  train: bool = True, contrast: float = 0.55,
+                 freq: float = 4.0, noise_mode: str = "white",
+                 jitter: int = 0,
                  seed: int = 0, pid: int = 0, pcount: int = 1):
+        """Difficulty knobs (defaults reproduce the original task):
+
+        contrast    template weight in the template/noise blend.
+        freq        max spatial frequency of the class templates (cycles
+                    per image).
+        noise_mode  "white": iid uniform noise (trivially averaged out by
+                    a low-frequency template matcher).  "lowpass": noise
+                    filtered into the SAME spectral band as the templates
+                    — distractors the model cannot remove by smoothing.
+        jitter      per-image random circular shift (px) applied to the
+                    template: class identity stays (the frequency set is
+                    shift-invariant) but pixel-position memorization
+                    stops working.
+        """
         self.batch_size = batch_size
         self.num_batches = num_batches
         self.img_size = img_size
         self.num_classes = num_classes
         self.train = train
         self.contrast = contrast
+        self.freq = freq
+        self.noise_mode = noise_mode
+        self.jitter = jitter
         self.seed = seed
         self.pid = pid
         self.pcount = pcount
@@ -468,7 +487,7 @@ class ProceduralLoader:
         for c in range(num_classes):
             for ch in range(3):
                 for _ in range(4):
-                    fx, fy = trng.uniform(-4, 4, 2)
+                    fx, fy = trng.uniform(-freq, freq, 2)
                     ph = trng.uniform(0, 2 * np.pi)
                     tpl[c, :, :, ch] += np.sin(
                         2 * np.pi * (fx * xx + fy * yy) + ph)
@@ -482,14 +501,39 @@ class ProceduralLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def _lowpass_noise(self, rng, n):
+        """Gaussian noise band-limited to the template spectrum (cutoff
+        = self.freq cycles/image), per-image normalized to [0, 1]."""
+        s = self.img_size
+        z = rng.standard_normal((n, s, s, 3)).astype(np.float32)
+        spec = np.fft.rfft2(z, axes=(1, 2))
+        fy = (np.fft.fftfreq(s) * s)[:, None]
+        fx = (np.fft.rfftfreq(s) * s)[None, :]
+        keep = (np.sqrt(fx * fx + fy * fy) <= self.freq
+                )[None, :, :, None]
+        x = np.fft.irfft2(spec * keep, s=(s, s), axes=(1, 2)
+                          ).astype(np.float32)
+        lo = x.min(axis=(1, 2, 3), keepdims=True)
+        hi = x.max(axis=(1, 2, 3), keepdims=True)
+        return (x - lo) / (hi - lo + 1e-8)
+
     def _batch(self, rng):
         y = rng.integers(0, self.num_classes,
                          (self.batch_size,)).astype(np.int32)
-        noise = rng.random(
-            (self.batch_size, self.img_size, self.img_size, 3),
-            dtype=np.float32)
-        x = (self.contrast * self.templates[y]
-             + (1.0 - self.contrast) * noise)
+        if self.noise_mode == "lowpass":
+            noise = self._lowpass_noise(rng, self.batch_size)
+        else:
+            noise = rng.random(
+                (self.batch_size, self.img_size, self.img_size, 3),
+                dtype=np.float32)
+        tpl = self.templates[y]
+        if self.jitter:
+            sh = rng.integers(-self.jitter, self.jitter + 1,
+                              (self.batch_size, 2))
+            tpl = np.stack([
+                np.roll(t, (int(dy), int(dx)), axis=(0, 1))
+                for t, (dy, dx) in zip(tpl, sh)])
+        x = self.contrast * tpl + (1.0 - self.contrast) * noise
         return (x * 255.0).astype(np.uint8), y
 
     def __iter__(self):
