@@ -226,6 +226,31 @@ def attrib(name):
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or ["small"]
-    for n in names:
-        attrib(n)
+    import argparse
+    import json
+    import time as _time_mod
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*", default=["small"])
+    ap.add_argument("--out", default=None,
+                    help="write the JSON artifact here (ATTRIB_r<N>.json)")
+    opts = ap.parse_args()
+    t0 = _time_mod.time()
+    all_rows = {}
+    for n in (opts.models or ["small"]):
+        all_rows[n] = {k: round(v, 2) for k, v in attrib(n).items()}
+    if opts.out:
+        with open(opts.out, "w") as fh:
+            json.dump({
+                "harness": "tpu_attrib",
+                "platform": jax.devices()[0].platform,
+                "bundle": BUNDLE,
+                "unit": "ms_per_step",
+                "batches": {k: MODELS[k][1] for k in all_rows},
+                "note": ("only in-program DELTAS are trustworthy: "
+                         "standalone rows (encoder_fb, teacher_fwd) are "
+                         "inflated by pipeline bubbles vs in-situ"),
+                "wall_s": round(_time_mod.time() - t0, 1),
+                "models": all_rows,
+            }, fh, indent=1)
+        print(f"wrote {opts.out}")

@@ -33,12 +33,21 @@ IMG = 64
 EPOCHS = 5
 
 # (contrast, noise_mode, jitter, freq)
+# round-1 sweep result: ANY jitter collapses learning to near-chance at
+# this training budget (0.03-0.09 vs 1.0) — circular shifts of
+# non-integer-frequency templates create seam artifacts, and 500 steps
+# can't learn shift invariance regardless.  Jitter stays 0; difficulty
+# comes from spectrally-matched (lowpass) noise at decreasing contrast.
+# round-2 sweep result (indices 1-5): 0.45 -> 0.958, 0.35 -> 0.895,
+# 0.28 -> 0.469, 0.22 -> 0.336, 0.17 -> 0.069.  Picked contrast 0.45
+# (in the 0.90-0.97 band) for scripts/e2e_accuracy.py HARD.
 GRID = [
     (0.55, "white", 0, 4.0),      # r3 settings (saturated: acc 1.0)
-    (0.45, "lowpass", 8, 4.0),
-    (0.35, "lowpass", 8, 4.0),
-    (0.30, "lowpass", 12, 5.0),
-    (0.25, "lowpass", 12, 5.0),
+    (0.45, "lowpass", 0, 4.0),
+    (0.35, "lowpass", 0, 4.0),
+    (0.28, "lowpass", 0, 4.0),
+    (0.22, "lowpass", 0, 4.0),
+    (0.17, "lowpass", 0, 4.0),
 ]
 
 
