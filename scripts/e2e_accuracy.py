@@ -66,10 +66,12 @@ IMG = 64
 TOKEN_RATIO = 0.7
 # difficulty (tuned with scripts/tune_procedural.py so dense lands in
 # the 0.90-0.97 band; the r3 settings — contrast .55, white noise, no
-# jitter — saturated at 1.0).  Sweep (same budget as phase A): jitter
-# at ANY strength collapses learning to chance; lowpass contrast
-# 0.45/0.35/0.28 -> dense 0.958/0.895/0.469.  0.45 lands in-band.
-HARD = dict(contrast=0.45, noise_mode="lowpass", jitter=0, freq=4.0)
+# jitter — saturated at 1.0).  Sweep (same budget as phase A, BEST-epoch
+# acc): jitter at ANY strength collapses learning to chance; lowpass
+# contrast 0.45/0.40/0.38/0.35/0.28 -> dense .998/.959/.927/.895/.469.
+# 0.38 picked: mid-band with margin below the 0.995 saturation ceiling
+# (0.45 drifted 0.958 -> 0.998 across sweeps, so ~±0.03 seed variance).
+HARD = dict(contrast=0.38, noise_mode="lowpass", jitter=0, freq=4.0)
 
 
 def serving_accuracy(layers, top, cfg, loader, *, token_ratio=None):
