@@ -52,7 +52,10 @@ def main():
     from uvc_tpu.train.step import build_stage2_step
 
     cfg = get_config("deit_small_patch16_224")
-    hp = MinimaxHParams()
+    # patch gating off: the A/B times the sliced-vs-masked weight path and
+    # compact_ft has no token-drop path, so leaving the default mode 2 on
+    # would charge the scorer+top-k cost to the dense side only
+    hp = MinimaxHParams(enable_patch_gating=0)
     thp = TrainHParams(num_classes=1000, t_total=10000, warmup_steps=500,
                        compute_dtype=jnp.bfloat16)
     b, k = args.batch, args.bundle

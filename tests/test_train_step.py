@@ -143,6 +143,56 @@ def test_stage2_step_runs_and_freezes_gating():
                            state.params["blocks"]["fc1"]["kernel"])
 
 
+def test_stage2_token_select_serving_semantics():
+    """Stage 2 trains under the DETERMINISTIC serving token drop when
+    hp mode 2 is on (r4: fine-tuning full-token and serving token-dropped
+    cost 11.4 points of phantom accuracy on the hardened e2e task):
+    the mask is actually applied, the scorer is frozen (zero update incl.
+    weight decay), and the eval step is noise-free (key-independent)."""
+    from uvc_tpu.compress.masks import build_masks
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=2, compute_dtype=jnp.float32)
+    params = _params(0)
+    teacher = _params(1)
+    masks = build_masks(params, jnp.array([[0.0, 8.0]]), jnp.array([[2.0]]),
+                        CFG)
+    x, y = _batch()
+
+    losses = {}
+    for mode in (0, 2):
+        hp = MinimaxHParams(enable_patch_gating=mode, patch_ratio=0.5)
+        state = create_train_state(jax.tree.map(jnp.copy, params), thp,
+                                   None)
+        step = build_stage2_step(CFG, hp, thp, donate=False)
+        new_state, m = step(state, teacher, masks, x, y,
+                            jax.random.PRNGKey(6))
+        losses[mode] = float(m["loss"])
+        # second step: the lr warmup ramp starts at 0 at step 0
+        new_state, _ = step(new_state, teacher, masks, x, y,
+                            jax.random.PRNGKey(8))
+        if mode == 2:
+            # scorer frozen: grad through the piecewise-constant top-k
+            # mask is zero AND decoupled weight decay must not drift it
+            for a, b in zip(jax.tree.leaves(params["token_scorer"]),
+                            jax.tree.leaves(
+                                new_state.params["token_scorer"])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert not np.allclose(
+                new_state.params["blocks"]["fc1"]["kernel"],
+                params["blocks"]["fc1"]["kernel"])
+    # dropping half the patch tokens must actually change the loss
+    assert losses[0] != losses[2]
+
+    # eval is the serving decision rule: noise-free, key-independent
+    hp = MinimaxHParams(enable_patch_gating=2, patch_ratio=0.5)
+    ev = build_eval_step(CFG, hp, thp, masked=True)
+    m1 = ev(params, masks, x, y, jax.random.PRNGKey(0))
+    m2 = ev(params, masks, x, y, jax.random.PRNGKey(123))
+    assert int(m1["correct"]) == int(m2["correct"])
+    np.testing.assert_allclose(float(m1["loss_sum"]),
+                               float(m2["loss_sum"]), rtol=1e-6)
+
+
 def test_eval_step_counts():
     hp = MinimaxHParams(enable_patch_gating=0)
     thp = TrainHParams(num_classes=CFG.num_classes,

@@ -128,7 +128,8 @@ def compact_train_tree(params: dict, masks: Dict[str, jax.Array],
 
 def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
                      cfg: ViTConfig, *, dtype=jnp.bfloat16,
-                     remat: bool = True) -> ForwardOutput:
+                     remat: bool = True,
+                     token_ratio: Optional[float] = None) -> ForwardOutput:
     """Differentiable forward of the compact stage-2 model.
 
     Mirrors the dense stage-2 semantics exactly (vit.apply with hard
@@ -138,6 +139,13 @@ def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
     backward kernels assume the dense square widths; the compact shapes
     are rectangular per layer, so the program is an unrolled per-layer
     loop compiled once.
+
+    ``token_ratio``: deterministic top-k token MASK (same decision rule as
+    vit.apply mode 2 with rng=None and serving's physical drop) so compact
+    fine-tuning trains under the served token budget.  A mask, not a
+    gather — the kept-coordinate trajectory stays exactly the masked-dense
+    one (tests/test_compact_ft.py); the FLOPs saving here comes from the
+    sliced widths, token compaction remains a serving-side transform.
     """
     top = ctree["top"]
     eps = cfg.layer_norm_eps
@@ -158,6 +166,14 @@ def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
             cfg.num_patches + 1, cfg.embed_dim)).astype(dtype)
     else:
         t = vit.patch_embed(top, x, cfg, dtype)
+        if token_ratio is not None and token_ratio < 1.0 \
+                and "token_scorer" in top:
+            from uvc_tpu.ops.gumbel import topk_token_mask
+            k = int(token_ratio * cfg.num_patches)
+            scores = (t.astype(jnp.float32)
+                      @ top["token_scorer"]["kernel"].astype(jnp.float32)
+                      + top["token_scorer"]["bias"]).squeeze(-1)
+            t = t * topk_token_mask(scores, k)[..., None].astype(dtype)
         tokens = [jnp.broadcast_to(top["cls_token"], (b, 1, cfg.embed_dim)
                                    ).astype(dtype)]
         if cfg.distilled:
@@ -293,7 +309,10 @@ def build_compact_stage2_step(cfg: ViTConfig, hp: MinimaxHParams,
             targets = jax.nn.one_hot(labels, thp.num_classes)
 
         def loss_fn(ctree):
-            out = apply_compact_ft(ctree, meta, x, cfg, dtype=dtype)
+            out = apply_compact_ft(
+                ctree, meta, x, cfg, dtype=dtype,
+                token_ratio=(hp.patch_ratio
+                             if hp.enable_patch_gating == 2 else None))
             base = _base_loss(out.logits, targets, labels, thp)
             t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
             return distillation_loss(
@@ -314,6 +333,15 @@ def build_compact_stage2_step(cfg: ViTConfig, hp: MinimaxHParams,
         grads, grad_norm = clip_global_norm(grads, thp.max_grad_norm)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = zero_frozen_updates(updates)
+        if (hp.enable_patch_gating == 2
+                and "token_scorer" in updates.get("top", {})):
+            # frozen architecture, as in the dense stage-2 step: zero grad
+            # through the piecewise-constant mask, but weight decay would
+            # still drift the scorer
+            updates = dict(updates)
+            updates["top"] = dict(updates["top"])
+            updates["top"]["token_scorer"] = jax.tree.map(
+                jnp.zeros_like, updates["top"]["token_scorer"])
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
         metrics = {"loss": loss, "grad_norm": grad_norm,

@@ -248,6 +248,16 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
 
     ``micro=True``: gradient-accumulation micro-step (post_train.py:641-649),
     see ``build_stage1_step``.
+
+    Token selection (``hp.enable_patch_gating == 2``): stage 2 fine-tunes
+    under the DETERMINISTIC top-k token drop (``rng=None`` serving
+    semantics).  This deliberately goes beyond the reference — its stage-2
+    model has no token machinery at all (post_train.py:55-58 builds plain
+    DeiT) — because our serving artifact physically drops tokens
+    (infer/compact.py); fine-tuning full-token and serving token-dropped
+    was measured to cost 11.4 points on the hardened e2e task (r4), all of
+    it train/serve mismatch.  The scorer itself is frozen (part of the
+    discovered architecture, like block gating).
     """
     tx = make_weight_optimizer(thp)
     lr_fn = thp.lr_schedule()
@@ -273,6 +283,8 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
             gating_distrib = jax.lax.stop_gradient(gating_distrib)
             out = get_model(cfg).apply(
                 params, x, cfg, gating_distrib=gating_distrib, masks=masks,
+                patch_gate_mode=(2 if hp.enable_patch_gating == 2 else 0),
+                patch_ratio=hp.patch_ratio,
                 train=True, dtype=dtype)
             base = _base_loss(out.logits, targets, labels, thp)
             t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
@@ -300,6 +312,12 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
         # weight decay would otherwise still move the frozen gating logits
         updates = dict(updates)
         updates["block_gating"] = jnp.zeros_like(updates["block_gating"])
+        if hp.enable_patch_gating == 2 and "token_scorer" in updates:
+            # the scorer is frozen architecture too: its grad through the
+            # piecewise-constant top-k mask is exactly zero, but decoupled
+            # weight decay would still shrink it
+            updates["token_scorer"] = jax.tree.map(
+                jnp.zeros_like, updates["token_scorer"])
         params = jax.tree.map(lambda p, u: p + u, state.params, updates)
 
         metrics = {"loss": loss, "grad_norm": grad_norm,
@@ -324,8 +342,14 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
     """Validation step (joint_train.py valid :199-246): hard-gated forward,
     top-1 correct count + summed CE loss, optionally with masks applied.
 
-    Token selection at eval uses tau=1 when patch mode 2 is on
-    (joint_train.py:216-219)."""
+    Token selection at eval is the DETERMINISTIC noise-free top-k — the
+    serving decision rule (infer/compact.py).  The reference's valid()
+    samples Gumbel noise at tau=1 instead (joint_train.py:216-227); on the
+    hardened r4 e2e task that noisy eval overstated serving accuracy by
+    11.4 points (noise-averaged selection masked a train/serve mismatch),
+    so we diverge deliberately: validation must measure the artifact that
+    ships.  ``key`` is kept in the signature for API stability but no
+    longer feeds the token draw."""
     dtype = thp.compute_dtype
 
     def step(params, masks, x, labels, key):
@@ -342,7 +366,7 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
                           tau=tau, patch_ratio=hp.patch_ratio,
                           patch_gate_mode=hp.enable_patch_gating,
                           patch_hard=True,
-                          rng=key, train=False, dtype=dtype)
+                          rng=None, train=False, dtype=dtype)
         logits = model.eval_logits(out, cfg)
         # label -1 marks padding rows from the full-coverage eval sharding
         # (data/pipeline.py); they are masked out of every reduction
