@@ -30,14 +30,19 @@ Gates:
   A2  stage-2 accuracy >= dense - 0.06      (accuracy recovered at the
                                              compressed architecture)
   A3  stage-1 final Real FLOPs <= 0.62      (constraint bound)
-  A4  compact (all tokens) accuracy >= stage-2 - 0.02
+  A4  compact (all tokens) accuracy >= masked-dense full-token - 0.01
+      (physical compaction is lossless in accuracy terms)
   A5  token-slimmed serving accuracy >= stage-2 - 0.06
   A6  compact FLOPs fraction <= Real FLOPs + 0.05 (the serving artifact
       actually computes the discovered budget, vs the reference's
       dense-cost masked serving)
   A7  slimmed compact accuracy >= masked-dense (same token drop) - 0.02
-      — bounds the serving logit drift (positional ghost rows,
-      infer/compact.py) by its measured accuracy cost, not assumption
+      — the ghost-row semantics difference must not cost the shipped
+      artifact accuracy.  Stage 2 trains and validates under the
+      PHYSICAL drop (train/step.py patch_physical), so serving IS the
+      trained semantics; the first r4 run, where stage-2 trained under
+      the MASKED drop, measured the mismatch at 2.35 points (this gate's
+      original failure)
 
 Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r04.json
 """
@@ -94,12 +99,15 @@ def serving_accuracy(layers, top, cfg, loader, *, token_ratio=None):
     return hits / total
 
 
-def masked_dense_accuracy(params, masks, cfg, loader, *, token_ratio,
+def masked_dense_accuracy(params, masks, cfg, loader, *, token_ratio=None,
                           gating_distrib=None):
     """Reference-style serving: masked weights at dense cost, with the
-    SAME deterministic token drop and frozen block decision the compact
-    path applies — the oracle the compact artifact's logit drift is
-    gated against (A7)."""
+    frozen block decision the compact path applies.  ``token_ratio``
+    set: the deterministic MASKED token drop (ghost rows retained — the
+    reference's token semantics, model_distilled.py:446-456), the oracle
+    the compact artifact's drift is gated against (A7).  ``token_ratio``
+    None: full-token masked dense, the compaction-losslessness oracle
+    (A4)."""
     from uvc_tpu.data.pipeline import normalize_on_device
     from uvc_tpu.models import vit
 
@@ -107,7 +115,8 @@ def masked_dense_accuracy(params, masks, cfg, loader, *, token_ratio,
     def logits_of(x):
         out = vit.apply(params, normalize_on_device(x), cfg, masks=masks,
                         gating_distrib=gating_distrib,
-                        patch_gate_mode=2, patch_ratio=token_ratio,
+                        patch_gate_mode=(2 if token_ratio else 0),
+                        patch_ratio=(token_ratio or 1.0),
                         rng=None, train=False, dtype=jnp.float32)
         return 0.5 * (out.logits + out.logits_kd) if cfg.distilled \
             else out.logits
@@ -221,24 +230,32 @@ def main():
     compact_acc = serving_accuracy(layers, top, cfg, test)
     slim_acc = serving_accuracy(layers, top, cfg, test,
                                 token_ratio=TOKEN_RATIO)
-    # the masked-dense oracle at the SAME architecture and token drop:
-    # isolates the compact path's ghost-row logit drift (VERDICT r3 #6)
+    # masked-dense oracles at the SAME architecture: full-token (A4 —
+    # compaction losslessness) and reference-style masked token drop
+    # (A7 — bounds what the ghost-row semantics difference costs the
+    # shipped artifact; stage 2 trains under the PHYSICAL drop, so the
+    # compact path is the trained semantics and the masked path is the
+    # reference-style counterfactual)
     gd = np.stack([1.0 - block_keep, block_keep.astype(np.float64)],
                   axis=1).astype(np.float32)
+    md_full_acc = masked_dense_accuracy(
+        params2, s1.masks, cfg, test, gating_distrib=jnp.asarray(gd))
     md_slim_acc = masked_dense_accuracy(
         params2, s1.masks, cfg, test, token_ratio=TOKEN_RATIO,
         gating_distrib=jnp.asarray(gd))
     print(f"[D] {len(layers)}/{cfg.depth} blocks, compact FLOPs "
           f"{frac * 100:.1f}%: acc compact {compact_acc * 100:.1f}% "
           f"slim {slim_acc * 100:.1f}% "
-          f"masked-dense-slim {md_slim_acc * 100:.1f}%", flush=True)
+          f"masked-dense full {md_full_acc * 100:.1f}% "
+          f"slim {md_slim_acc * 100:.1f}%", flush=True)
 
     gates = {
         "A1 0.85 <= dense acc <= 0.995":
             0.85 <= dense_acc <= 0.995,
         "A2 stage-2 acc >= dense - 0.06": stage2_acc >= dense_acc - 0.06,
         "A3 stage-1 real FLOPs <= 0.62": final_flops <= 0.62,
-        "A4 compact acc >= stage-2 - 0.02": compact_acc >= stage2_acc - 0.02,
+        "A4 compact acc >= masked-dense full - 0.01":
+            compact_acc >= md_full_acc - 0.01,
         "A5 slimmed acc >= stage-2 - 0.06": slim_acc >= stage2_acc - 0.06,
         "A6 compact FLOPs <= real + 0.05": frac <= final_flops + 0.05,
         "A7 slim acc >= masked-dense slim - 0.02":
@@ -266,6 +283,7 @@ def main():
                 "stage2_acc": round(stage2_acc, 4),
                 "compact_acc": round(compact_acc, 4),
                 "slim_acc": round(slim_acc, 4),
+                "masked_dense_full_acc": round(md_full_acc, 4),
                 "masked_dense_slim_acc": round(md_slim_acc, 4),
                 "hard_settings": HARD,
                 "real_flops_final": round(final_flops, 4),

@@ -167,6 +167,31 @@ def test_compact_token_slimming_runs_and_tracks_dense():
     assert frac_slim < frac_full * 0.85
 
 
+def test_compact_slim_matches_physical_dense_eval():
+    """The compact token-drop serving path is EXACTLY vit.apply's physical
+    deterministic drop (patch_physical=True) — the semantics stage 2 now
+    trains and validates under (train/step.py).  The ghost-row drift the
+    masked path carries (2.35 accuracy points on the hardened r4 e2e task,
+    gate A7) is gone by construction: training == serving."""
+    params, masks = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (4, CFG.img_size, CFG.img_size, CFG.in_chans))
+    ratio = 0.7
+    g = params["block_gating"]
+    keep = (g[:, 1] > g[:, 0]).astype(jnp.float32)
+    gating = jnp.stack([1.0 - keep, keep], axis=-1)
+    ref = vit.apply(params, x, CFG, gating_distrib=gating, masks=masks,
+                    patch_gate_mode=2, patch_ratio=ratio, rng=None,
+                    patch_physical=True, train=False, dtype=jnp.float32)
+    assert ref.token_mask is None                # gathered, not masked
+
+    layers, top = compact_model(params, masks, CFG)
+    out = apply_compact(layers, top, x, CFG, dtype=jnp.float32,
+                        token_ratio=ratio)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(ref.logits), rtol=2e-4, atol=2e-4)
+
+
 def test_dense_eval_deterministic_token_mask():
     """vit.apply with token selection and rng=None uses the noise-free
     top-k (serving semantics) and returns exactly k kept tokens."""

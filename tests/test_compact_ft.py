@@ -67,6 +67,29 @@ def test_compact_ft_forward_matches_masked_dense():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_compact_ft_token_drop_matches_physical_dense():
+    """apply_compact_ft's token drop is the same PHYSICAL gather as
+    vit.apply(patch_physical=True) and serving's apply_compact — compact
+    fine-tuning, dense stage-2, and the serving artifact all share one
+    token-drop semantics (no ghost rows anywhere)."""
+    params, masks = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(7),
+                          (4, CFG.img_size, CFG.img_size, CFG.in_chans))
+    ratio = 0.7
+    ref = vit.apply(params, x, CFG, gating_distrib=_hard_gating(params),
+                    masks=masks, patch_gate_mode=2, patch_ratio=ratio,
+                    rng=None, patch_physical=True, train=True,
+                    dtype=jnp.float32)
+    ctree, meta = compact_train_tree(params, masks, CFG)
+    out = apply_compact_ft(ctree, meta, x, CFG, dtype=jnp.float32,
+                           token_ratio=ratio)
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(ref.logits), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.logits_kd),
+                               np.asarray(ref.logits_kd),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_compact_step_matches_dense_on_kept_coords():
     """One full optimizer step: compact(dense_step(params)) must equal
     compact_step(compact(params)) — grads, clipping, AdamW, and weight

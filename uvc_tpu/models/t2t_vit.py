@@ -322,6 +322,7 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
           jumping: bool = False, rng=None, train: bool = False,
           tau: float = -1.0, patch_ratio: float = 0.9,
           patch_gate_mode: int = 0, patch_hard: bool = False,
+          patch_physical: bool = False,
           drop_path_rate: float = 0.0,
           dtype=jnp.float32) -> ForwardOutput:
     """T2T-ViT forward (t2t_vit.py:168-208).  The reference T2T forward has

@@ -302,6 +302,7 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
           patch_ratio: float = 0.9,
           patch_gate_mode: int = 0,
           patch_hard: bool = False,
+          patch_physical: bool = False,
           jumping: bool = False,
           rng: Optional[jax.Array] = None,
           train: bool = False,
@@ -324,6 +325,17 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
       rng: PRNG key for gumbel token sampling; None selects the
         deterministic noise-free top-k (serving semantics, matching the
         physical token drop in infer/compact.py).
+      patch_physical: with deterministic token selection (rng=None), GATHER
+        the kept tokens instead of zero-masking them — the sequence axis
+        really shrinks to ``k + prefix``, exactly the serving artifact's
+        semantics (infer/compact.py apply_compact).  The masked path leaves
+        dropped tokens behind as positional "ghost" rows (zeroed before the
+        pos-embed add) that still attend and absorb softmax mass; on the
+        hardened r4 e2e task that semantic mismatch between stage-2
+        fine-tuning and compact serving cost 2.35 accuracy points (gate A7),
+        so stage 2 trains and validates physically.  The kept set is
+        identical either way (topk_token_mask boosts token 0's score, this
+        path pins it to +inf).  ~30% cheaper at ratio 0.7, too.
     """
     eps = cfg.layer_norm_eps
     b = x.shape[0]
@@ -344,27 +356,49 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     # it on; a concrete positive tau also works for direct callers.
     token_select = (patch_gate_mode == 2
                     or (isinstance(tau, (int, float)) and tau > 0))
+    physical = token_select and patch_physical and rng is None
+    idx = None
     if token_select:
         k = int(patch_ratio * cfg.num_patches)
         scores = (x.astype(jnp.float32)
                   @ params["token_scorer"]["kernel"].astype(jnp.float32)
                   + params["token_scorer"]["bias"]).squeeze(-1)  # [B, N]
-        if rng is None:
-            # serving semantics: deterministic noise-free top-k (matches
-            # the physical token drop in infer/compact.py)
+        if physical:
+            # serving-exact: gather the kept tokens (same decision rule as
+            # topk_token_mask / infer/compact.py apply_compact — token 0
+            # force-kept inside the k budget); k is static so every shape
+            # stays static for XLA
+            boosted = scores.at[:, 0].set(jnp.inf)
+            idx = jnp.sort(jax.lax.top_k(boosted, k)[1], axis=-1)  # [B, k]
+            x = jnp.take_along_axis(x, idx[..., None], axis=1)
+        elif rng is None:
+            # deterministic noise-free top-k, ghost rows retained (the
+            # reference-style masked serving: model_distilled.py:446-456)
             from uvc_tpu.ops.gumbel import topk_token_mask
             token_mask = topk_token_mask(scores, k)
         else:
             token_mask = gumbel_topk_mask(rng, scores, k, tau)
-        x = x * token_mask[..., None].astype(dtype)
+        if token_mask is not None:
+            x = x * token_mask[..., None].astype(dtype)
 
     tokens = [jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim)
                                ).astype(dtype)]
     if cfg.distilled:
         tokens.append(jnp.broadcast_to(
             params["dist_token"], (b, 1, cfg.embed_dim)).astype(dtype))
-    x = jnp.concatenate(tokens + [x], axis=1)
-    x = x + params["pos_embed"].astype(dtype)
+    if physical:
+        prefix = len(tokens)
+        pos = params["pos_embed"].astype(dtype)
+        pos_patch = jnp.take_along_axis(
+            jnp.broadcast_to(pos[:, prefix:],
+                             (b, cfg.num_patches, cfg.embed_dim)),
+            idx[..., None], axis=1)
+        x = jnp.concatenate(
+            [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
+             x + pos_patch], axis=1)
+    else:
+        x = jnp.concatenate(tokens + [x], axis=1)
+        x = x + params["pos_embed"].astype(dtype)
 
     dp_rate = drop_path_rate if (train and drop_path_rate > 0) else 0.0
     x = transformer_encode(

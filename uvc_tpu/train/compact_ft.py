@@ -140,12 +140,13 @@ def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
     are rectangular per layer, so the program is an unrolled per-layer
     loop compiled once.
 
-    ``token_ratio``: deterministic top-k token MASK (same decision rule as
-    vit.apply mode 2 with rng=None and serving's physical drop) so compact
-    fine-tuning trains under the served token budget.  A mask, not a
-    gather — the kept-coordinate trajectory stays exactly the masked-dense
-    one (tests/test_compact_ft.py); the FLOPs saving here comes from the
-    sliced widths, token compaction remains a serving-side transform.
+    ``token_ratio``: deterministic top-k PHYSICAL token drop (gather —
+    identical decision rule and semantics as vit.apply mode 2 with
+    rng=None + patch_physical, and as serving's apply_compact) so compact
+    fine-tuning trains under exactly the served token budget and
+    attention pattern.  The kept-coordinate trajectory parity with the
+    dense stage-2 step (tests/test_compact_ft.py) is preserved because
+    the dense step gathers by the same frozen-scorer rule.
     """
     top = ctree["top"]
     eps = cfg.layer_norm_eps
@@ -166,21 +167,34 @@ def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
             cfg.num_patches + 1, cfg.embed_dim)).astype(dtype)
     else:
         t = vit.patch_embed(top, x, cfg, dtype)
+        idx = None
         if token_ratio is not None and token_ratio < 1.0 \
                 and "token_scorer" in top:
-            from uvc_tpu.ops.gumbel import topk_token_mask
             k = int(token_ratio * cfg.num_patches)
             scores = (t.astype(jnp.float32)
                       @ top["token_scorer"]["kernel"].astype(jnp.float32)
                       + top["token_scorer"]["bias"]).squeeze(-1)
-            t = t * topk_token_mask(scores, k)[..., None].astype(dtype)
+            boosted = scores.at[:, 0].set(jnp.inf)   # token 0 force-kept
+            idx = jnp.sort(jax.lax.top_k(boosted, k)[1], axis=-1)  # [B, k]
+            t = jnp.take_along_axis(t, idx[..., None], axis=1)
         tokens = [jnp.broadcast_to(top["cls_token"], (b, 1, cfg.embed_dim)
                                    ).astype(dtype)]
         if cfg.distilled:
             tokens.append(jnp.broadcast_to(
                 top["dist_token"], (b, 1, cfg.embed_dim)).astype(dtype))
-        t = jnp.concatenate(tokens + [t], axis=1)
-        t = t + top["pos_embed"].astype(dtype)
+        if idx is not None:
+            prefix = len(tokens)
+            pos = top["pos_embed"].astype(dtype)
+            pos_patch = jnp.take_along_axis(
+                jnp.broadcast_to(pos[:, prefix:],
+                                 (b, cfg.num_patches, cfg.embed_dim)),
+                idx[..., None], axis=1)
+            t = jnp.concatenate(
+                [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
+                 t + pos_patch], axis=1)
+        else:
+            t = jnp.concatenate(tokens + [t], axis=1)
+            t = t + top["pos_embed"].astype(dtype)
 
     from jax.ad_checkpoint import checkpoint_name
 

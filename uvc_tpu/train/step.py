@@ -250,14 +250,18 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
     see ``build_stage1_step``.
 
     Token selection (``hp.enable_patch_gating == 2``): stage 2 fine-tunes
-    under the DETERMINISTIC top-k token drop (``rng=None`` serving
-    semantics).  This deliberately goes beyond the reference — its stage-2
-    model has no token machinery at all (post_train.py:55-58 builds plain
-    DeiT) — because our serving artifact physically drops tokens
-    (infer/compact.py); fine-tuning full-token and serving token-dropped
-    was measured to cost 11.4 points on the hardened e2e task (r4), all of
-    it train/serve mismatch.  The scorer itself is frozen (part of the
-    discovered architecture, like block gating).
+    under the PHYSICAL deterministic top-k token drop (``rng=None`` +
+    ``patch_physical`` — the kept tokens are gathered, the sequence axis
+    really shrinks).  This deliberately goes beyond the reference — its
+    stage-2 model has no token machinery at all (post_train.py:55-58
+    builds plain DeiT) — because our serving artifact physically drops
+    tokens (infer/compact.py): fine-tuning full-token and serving
+    token-dropped was measured to cost 11.4 points on the hardened e2e
+    task (r4), and fine-tuning under the *masked* drop (ghost rows still
+    attending) another 2.35 points of ghost-row drift at serving (gate
+    A7).  Physical fine-tuning makes training exactly the serving
+    semantics — and ~30% cheaper at ratio 0.7.  The scorer itself is
+    frozen (part of the discovered architecture, like block gating).
     """
     tx = make_weight_optimizer(thp)
     lr_fn = thp.lr_schedule()
@@ -284,7 +288,7 @@ def build_stage2_step(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams,
             out = get_model(cfg).apply(
                 params, x, cfg, gating_distrib=gating_distrib, masks=masks,
                 patch_gate_mode=(2 if hp.enable_patch_gating == 2 else 0),
-                patch_ratio=hp.patch_ratio,
+                patch_ratio=hp.patch_ratio, patch_physical=True,
                 train=True, dtype=dtype)
             base = _base_loss(out.logits, targets, labels, thp)
             t_logits = _teacher_logits(teacher_params, x, cfg, dtype)
@@ -342,14 +346,16 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
     """Validation step (joint_train.py valid :199-246): hard-gated forward,
     top-1 correct count + summed CE loss, optionally with masks applied.
 
-    Token selection at eval is the DETERMINISTIC noise-free top-k — the
-    serving decision rule (infer/compact.py).  The reference's valid()
+    Token selection at eval is the DETERMINISTIC noise-free top-k applied
+    PHYSICALLY (gather, not mask) — exactly the serving decision rule and
+    semantics (infer/compact.py apply_compact).  The reference's valid()
     samples Gumbel noise at tau=1 instead (joint_train.py:216-227); on the
     hardened r4 e2e task that noisy eval overstated serving accuracy by
     11.4 points (noise-averaged selection masked a train/serve mismatch),
-    so we diverge deliberately: validation must measure the artifact that
-    ships.  ``key`` is kept in the signature for API stability but no
-    longer feeds the token draw."""
+    and the masked deterministic drop overstated it by another 2.35 points
+    (ghost rows still absorbing attention), so we diverge deliberately:
+    validation must measure the artifact that ships.  ``key`` is kept in
+    the signature for API stability but no longer feeds the token draw."""
     dtype = thp.compute_dtype
 
     def step(params, masks, x, labels, key):
@@ -365,7 +371,7 @@ def build_eval_step(cfg: ViTConfig, hp: MinimaxHParams,
                           masks=masks if masked else None,
                           tau=tau, patch_ratio=hp.patch_ratio,
                           patch_gate_mode=hp.enable_patch_gating,
-                          patch_hard=True,
+                          patch_hard=True, patch_physical=True,
                           rng=None, train=False, dtype=dtype)
         logits = model.eval_logits(out, cfg)
         # label -1 marks padding rows from the full-coverage eval sharding
