@@ -1,18 +1,27 @@
-"""A/B: stage-2 fine-tune step at masked-dense vs physically compact shapes.
+"""A/B: stage-2 fine-tune step at masked-dense vs physically compact shapes,
+with and without the physical token drop.
 
 The reference's stage-2 (its longest job: 150 epochs) computes at dense
 shapes with masks re-zeroing the weights every step (post_train.py:
-357-360).  train/compact_ft.py trains the sliced architecture instead —
-provably the same kept-coordinate update trajectory
-(tests/test_compact_ft.py).  This script measures what that buys on the
-chip at the bench serving architecture (half the heads, half the MLP
-units, all blocks kept) for DeiT-Small.
+357-360), full-token.  We train the sliced architecture instead
+(train/compact_ft.py — provably the same kept-coordinate update
+trajectory, tests/test_compact_ft.py) AND under the physical
+deterministic token drop (r4: vit.apply patch_physical / compact_ft
+token_ratio gather — the serving artifact's exact semantics, which also
+shrinks the sequence 198 -> k+2).  Four rows at the bench serving
+architecture (half the heads, half the MLP units, all blocks kept),
+DeiT-Small:
+
+  masked_dense   mode-0 full-token masked step   (the reference's cost)
+  dense_drop     dense layout + physical drop    (train/step.py mode 2)
+  compact        sliced, full-token
+  compact_drop   sliced + physical drop          (the shipped recipe)
 
 Timing mirrors bench.py: the drivers' own bundled step (k distinct
-batches per launch), interleaved best-of-5 so relay dispatch drift hits
-both sides equally.
+batches per launch), interleaved best-of-N so relay dispatch drift hits
+all rows equally.
 
-Usage: timeout 1800 python scripts/tpu_stage2_compact.py \
+Usage: timeout 2400 python scripts/tpu_stage2_compact.py \
            [--out STAGE2C_rN.json]
 """
 
@@ -39,6 +48,7 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--bundle", type=int, default=5)
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--token_ratio", type=float, default=0.7)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -52,10 +62,9 @@ def main():
     from uvc_tpu.train.step import build_stage2_step
 
     cfg = get_config("deit_small_patch16_224")
-    # patch gating off: the A/B times the sliced-vs-masked weight path and
-    # compact_ft has no token-drop path, so leaving the default mode 2 on
-    # would charge the scorer+top-k cost to the dense side only
-    hp = MinimaxHParams(enable_patch_gating=0)
+    hp0 = MinimaxHParams(enable_patch_gating=0)          # full-token rows
+    hp2 = MinimaxHParams(enable_patch_gating=2,          # physical drop
+                         patch_ratio=args.token_ratio)
     thp = TrainHParams(num_classes=1000, t_total=10000, warmup_steps=500,
                        compute_dtype=jnp.bfloat16)
     b, k = args.batch, args.bundle
@@ -75,24 +84,33 @@ def main():
                            jnp.bfloat16)
     ys = jnp.zeros((k, b), jnp.int32)
 
-    dense_step = build_stage2_step(cfg, hp, thp, donate=False, bundle=k)
-    state_d = create_train_state(params, thp, None)
-
     ctree, meta = compact_train_tree(params, masks, cfg,
                                      block_keep=block_keep)
-    compact_step = build_compact_stage2_step(cfg, hp, thp, meta,
-                                             donate=False, bundle=k)
-    state_c = create_train_state(ctree, thp, None)
+    steps = {
+        "masked_dense": (build_stage2_step(cfg, hp0, thp, donate=False,
+                                           bundle=k),
+                         create_train_state(params, thp, None)),
+        "dense_drop": (build_stage2_step(cfg, hp2, thp, donate=False,
+                                         bundle=k),
+                       create_train_state(jax.tree.map(jnp.copy, params),
+                                          thp, None)),
+        "compact": (build_compact_stage2_step(cfg, hp0, thp, meta,
+                                              donate=False, bundle=k),
+                    create_train_state(ctree, thp, None)),
+        "compact_drop": (build_compact_stage2_step(cfg, hp2, thp, meta,
+                                                   donate=False, bundle=k),
+                         create_train_state(jax.tree.map(jnp.copy, ctree),
+                                            thp, None)),
+    }
 
-    def run_dense(kk):
-        st, m = dense_step(state_d, teacher, masks, xs, ys, kk)
-        float(jax.device_get(m["loss"].ravel()[-1]))
+    def make_run(step, st):
+        def run(kk):
+            _, m = step(st, teacher, masks, xs, ys, kk)
+            float(jax.device_get(m["loss"].ravel()[-1]))
+        return run
 
-    def run_compact(kk):
-        st, m = compact_step(state_c, teacher, masks, xs, ys, kk)
-        float(jax.device_get(m["loss"].ravel()[-1]))
-
-    pairs = (("masked_dense", run_dense), ("compact", run_compact))
+    pairs = [(name, make_run(step, st)) for name, (step, st) in
+             steps.items()]
     for name, fn in pairs:
         t0 = time.perf_counter()
         fn(key)                                  # compile + warm
@@ -108,9 +126,16 @@ def main():
 
     out = {name: round(b * k / min(ts), 1) for name, ts in times.items()}
     out["speedup"] = round(out["compact"] / out["masked_dense"], 3)
+    out["speedup_drop"] = round(out["compact_drop"] / out["masked_dense"],
+                                3)
+    out["speedup_dense_drop"] = round(
+        out["dense_drop"] / out["masked_dense"], 3)
     layers, _ = compact_model(params, masks, cfg, block_keep=block_keep)
     out["compact_flops_fraction"] = round(
         compact_flops_fraction(layers, cfg), 4)
+    out["compact_drop_flops_fraction"] = round(compact_flops_fraction(
+        layers, cfg, token_ratio=args.token_ratio), 4)
+    out["token_ratio"] = args.token_ratio
     out["batch"] = b
     out["bundle"] = k
     out["model"] = cfg.name
