@@ -1,0 +1,128 @@
+"""SLURM multi-node launcher for the UVC CLIs.
+
+TPU-native equivalent of the reference's submitit wrapper
+(Baseline_pruning/run_with_submitit.py:1-126) and its 3-node shell
+scripts (script/omp_base/train_base_omp_master_node.sh): instead of
+submitit's init-file rendezvous + torch.distributed env://, we map the
+SLURM step environment directly onto ``jax.distributed.initialize``
+(coordinator = first host of the step nodelist, process_id =
+SLURM_PROCID, num_processes = SLURM_NTASKS) and re-enter the normal
+CLI entry point.  One task per host (TPU hosts own all local chips);
+``#SBATCH --ntasks-per-node=1``.
+
+Preemption/requeue (submitit's ``checkpoint()`` Trainer method,
+run_with_submitit.py:58-66): both trainers checkpoint every epoch and
+support full mid-run resume, so on a requeued step we simply inject
+``--resume <newest stage-1 ckpt>`` when the caller didn't pass one.
+The companion sbatch script (scripts/run_slurm.sbatch) traps SIGUSR1
+and requeues the job before the time limit.
+
+Usage (inside an sbatch allocation):
+
+    srun python -m uvc_tpu.cli.slurm_launch [--stage2] <joint_train args>
+"""
+
+import argparse
+import os
+import re
+import sys
+from typing import Dict, List, Optional
+
+DEFAULT_PORT = 12321
+
+
+def first_host(nodelist: str) -> str:
+    """First hostname of a compact SLURM nodelist.
+
+    Handles the common shapes without scontrol: ``host1,host2``,
+    ``node[001-004]``, ``node[3,7-9]``, ``tpu-[a,b]-host`` and plain
+    single names.  (scontrol is preferred when available; this is the
+    hermetic fallback so the derivation is unit-testable.)
+    """
+    head = nodelist.split(",", 1)[0] if "[" not in nodelist else nodelist
+    m = re.match(r"([^\[]*)\[([^\]]+)\](.*)", head)
+    if not m:
+        return head.strip()
+    prefix, body, suffix = m.groups()
+    first = re.split(r"[,\-]", body, 1)[0]
+    # suffix may itself contain another bracket group (rare multi-dim
+    # names); recurse.
+    rest = first_host(suffix.split(",", 1)[0]) if suffix else ""
+    return prefix + first + rest
+
+
+def derive_slurm_args(env: Dict[str, str]) -> Optional[Dict[str, object]]:
+    """Map the SLURM step env to jax.distributed init args.
+
+    Returns None outside SLURM (single-process run).  Honors explicit
+    UVC_COORDINATOR[_PORT] overrides (e.g. when node names don't
+    resolve across the DCN fabric).
+    """
+    ntasks = int(env.get("SLURM_NTASKS", "1") or "1")
+    if "SLURM_PROCID" not in env or ntasks <= 1:
+        return None
+    host = env.get("UVC_COORDINATOR")
+    if not host:
+        nodelist = (env.get("SLURM_STEP_NODELIST")
+                    or env.get("SLURM_JOB_NODELIST", ""))
+        host = first_host(nodelist) if nodelist else None
+    if not host:
+        return None
+    port = int(env.get("UVC_COORDINATOR_PORT", str(DEFAULT_PORT)))
+    coordinator = host if ":" in host else f"{host}:{port}"
+    return {"coordinator": coordinator,
+            "num_processes": ntasks,
+            "process_id": int(env["SLURM_PROCID"])}
+
+
+def find_resume_ckpt(output_dir: str, name: str) -> Optional[str]:
+    """Newest stage-1 checkpoint under output_dir/name, for requeue.
+
+    Stage-1 ckpts are ``<model>_<epoch>.ckpt``; stage-2 ones carry
+    ``_post_`` and are skipped (post_train finds its own via
+    --checkpoint_dir).
+    """
+    run_dir = os.path.join(output_dir, name)
+    if not os.path.isdir(run_dir):
+        return None
+    cands = [os.path.join(run_dir, f) for f in os.listdir(run_dir)
+             if f.endswith(".ckpt") and "_post_" not in f]
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
+def build_argv(argv: List[str], env: Dict[str, str]) -> List[str]:
+    """Inject --coordinator/--num_processes/--process_id and --resume."""
+    out = list(argv)
+    dist = derive_slurm_args(env)
+    if dist and "--coordinator" not in out:
+        out += ["--coordinator", str(dist["coordinator"]),
+                "--num_processes", str(dist["num_processes"]),
+                "--process_id", str(dist["process_id"])]
+    if "--resume" not in out and int(env.get("SLURM_RESTART_COUNT",
+                                             "0") or "0") > 0:
+        # requeued step: continue from the newest checkpoint
+        probe = argparse.ArgumentParser(add_help=False)
+        probe.add_argument("--output_dir", default="output")
+        probe.add_argument("--name", default="uvc")
+        known, _ = probe.parse_known_args(out)
+        ckpt = find_resume_ckpt(known.output_dir, known.name)
+        if ckpt:
+            out += ["--resume", ckpt]
+    return out
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    stage2 = "--stage2" in argv
+    if stage2:
+        argv.remove("--stage2")
+    argv = build_argv(argv, dict(os.environ))
+    if stage2:
+        from uvc_tpu.cli.post_train import main as entry
+    else:
+        from uvc_tpu.cli.joint_train import main as entry
+    return entry(argv)
+
+
+if __name__ == "__main__":
+    main()
