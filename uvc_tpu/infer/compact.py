@@ -32,6 +32,8 @@ import numpy as np
 from uvc_tpu.configs import ViTConfig
 from uvc_tpu.models import vit
 from uvc_tpu.models.vit import ForwardOutput, _layer_norm
+from uvc_tpu.ops.gumbel import (gather_tokens_with_pos,
+                                physical_topk_indices, token_scores)
 
 
 def _pad_to(n: int, q: int = 128) -> int:
@@ -172,26 +174,14 @@ def apply_compact(layers: List[dict], top: dict, x: jax.Array,
         if token_ratio is not None and token_ratio < 1.0 \
                 and "token_scorer" in top:
             # physical token slimming: gather the top-k scored patches
-            # (and their pos-embed rows) per image; k is static so every
-            # shape stays static for XLA
-            n, d = t.shape[1], t.shape[2]
-            prefix = len(tokens)
+            # (and their pos-embed rows) per image via the shared
+            # serving-exact helpers (ops/gumbel.py) — the SAME code path
+            # vit.apply(patch_physical=True) and compact_ft train with
             k = int(token_ratio * cfg.num_patches)
-            scores = (t.astype(jnp.float32)
-                      @ jnp.asarray(top["token_scorer"]["kernel"],
-                                    jnp.float32)
-                      + jnp.asarray(top["token_scorer"]["bias"],
-                                    jnp.float32)).squeeze(-1)   # [B, N]
-            scores = scores.at[:, 0].set(jnp.inf)  # mask[:, 0] = 1 parity
-            idx = jnp.sort(jax.lax.top_k(scores, k)[1], axis=-1)  # [B, k]
-            t = jnp.take_along_axis(t, idx[..., None], axis=1)
-            pos = jnp.asarray(top["pos_embed"]).astype(dtype)
-            pos_patch = jnp.take_along_axis(
-                jnp.broadcast_to(pos[:, prefix:], (b, n, d)),
-                idx[..., None], axis=1)
-            t = jnp.concatenate(
-                [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
-                 t + pos_patch], axis=1)
+            idx = physical_topk_indices(
+                token_scores(t, top["token_scorer"]), k)
+            t = gather_tokens_with_pos(t, idx, tokens, top["pos_embed"],
+                                       dtype)
         else:
             t = jnp.concatenate(tokens + [t], axis=1)
             t = t + jnp.asarray(top["pos_embed"]).astype(dtype)

@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 from uvc_tpu.configs import ViTConfig
-from uvc_tpu.ops.gumbel import gumbel_topk_mask
+from uvc_tpu.ops.gumbel import (gather_tokens_with_pos, gumbel_topk_mask,
+                                physical_topk_indices, token_scores)
 
 # A/B switches for the round-3 fused sublayer kernels (module globals,
 # read at trace time — bench.py flips them as a compile-failure fallback
@@ -360,17 +361,11 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
     idx = None
     if token_select:
         k = int(patch_ratio * cfg.num_patches)
-        scores = (x.astype(jnp.float32)
-                  @ params["token_scorer"]["kernel"].astype(jnp.float32)
-                  + params["token_scorer"]["bias"]).squeeze(-1)  # [B, N]
+        scores = token_scores(x, params["token_scorer"])  # [B, N]
         if physical:
-            # serving-exact: gather the kept tokens (same decision rule as
-            # topk_token_mask / infer/compact.py apply_compact — token 0
-            # force-kept inside the k budget); k is static so every shape
-            # stays static for XLA
-            boosted = scores.at[:, 0].set(jnp.inf)
-            idx = jnp.sort(jax.lax.top_k(boosted, k)[1], axis=-1)  # [B, k]
-            x = jnp.take_along_axis(x, idx[..., None], axis=1)
+            # serving-exact: gather the kept tokens (infer/compact.py
+            # apply_compact runs the SAME shared helpers)
+            idx = physical_topk_indices(scores, k)  # [B, k]
         elif rng is None:
             # deterministic noise-free top-k, ghost rows retained (the
             # reference-style masked serving: model_distilled.py:446-456)
@@ -387,15 +382,8 @@ def apply(params: dict, x: jax.Array, cfg: ViTConfig, *,
         tokens.append(jnp.broadcast_to(
             params["dist_token"], (b, 1, cfg.embed_dim)).astype(dtype))
     if physical:
-        prefix = len(tokens)
-        pos = params["pos_embed"].astype(dtype)
-        pos_patch = jnp.take_along_axis(
-            jnp.broadcast_to(pos[:, prefix:],
-                             (b, cfg.num_patches, cfg.embed_dim)),
-            idx[..., None], axis=1)
-        x = jnp.concatenate(
-            [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
-             x + pos_patch], axis=1)
+        x = gather_tokens_with_pos(x, idx, tokens, params["pos_embed"],
+                                   dtype)
     else:
         x = jnp.concatenate(tokens + [x], axis=1)
         x = x + params["pos_embed"].astype(dtype)

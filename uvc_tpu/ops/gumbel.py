@@ -84,6 +84,56 @@ def topk_token_mask(logits: jax.Array, k: int) -> jax.Array:
     return (boosted >= kth).astype(logits.dtype)
 
 
+def token_scores(t: jax.Array, scorer) -> jax.Array:
+    """``[B, N]`` f32 selection scores from the linear token scorer
+    (reference ``self.gumbel = Linear(d, 1)``: model_distilled.py:409).
+
+    The single shared implementation for training (models/vit.py),
+    compact fine-tuning (train/compact_ft.py) and serving
+    (infer/compact.py) — the three must stay bit-identical or the
+    trained kept-set drifts from the served one (E2EACC gate A7).
+    """
+    return (t.astype(jnp.float32)
+            @ jnp.asarray(scorer["kernel"], jnp.float32)
+            + jnp.asarray(scorer["bias"], jnp.float32)).squeeze(-1)
+
+
+def physical_topk_indices(scores: jax.Array, k: int) -> jax.Array:
+    """``[B, k]`` kept-token indices for the physical (serving-exact)
+    token drop: token 0 force-kept by boosting its score *inside* the k
+    budget (exactly ``topk_token_mask``'s decision rule), sorted
+    ascending so the kept tokens preserve their relative order.  k is
+    static, so every downstream shape stays static for XLA."""
+    boosted = scores.at[..., 0].set(jnp.inf)
+    return jnp.sort(jax.lax.top_k(boosted, k)[1], axis=-1)
+
+
+def gather_tokens_with_pos(t: jax.Array, idx: jax.Array, tokens,
+                           pos, dtype) -> jax.Array:
+    """Physically drop unselected patch tokens: gather the kept tokens
+    AND their positional-embedding rows, then prepend the prefix
+    (cls/dist) tokens with theirs — dropped positions contribute
+    nothing, unlike the masked path's positional ghost rows.
+
+    Args:
+      t: ``[B, N, D]`` patch tokens (pre pos-embed, ungathered).
+      idx: ``[B, k]`` kept indices from ``physical_topk_indices``.
+      tokens: list of ``[B, 1, D]`` prefix token arrays (already dtype).
+      pos: ``[1, prefix+N, D]`` positional embedding table.
+
+    Returns ``[B, prefix+k, D]`` with positions added everywhere.
+    """
+    b, n, d = t.shape
+    prefix = len(tokens)
+    pos = jnp.asarray(pos).astype(dtype)
+    kept = jnp.take_along_axis(t, idx[..., None], axis=1)
+    pos_patch = jnp.take_along_axis(
+        jnp.broadcast_to(pos[:, prefix:], (b, n, d)), idx[..., None], axis=1)
+    return jnp.concatenate(
+        [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
+         kept + pos_patch], axis=1)
+
+
 def softl0(g: jax.Array, eps: jax.Array | float) -> jax.Array:
     """Soft-L0 gate ``g^2 / (g^2 + eps)`` (reference SoftL0 without the
     sqrt — the resource fn uses the un-sqrt'd form at uvc_utils.py:448-449).

@@ -545,7 +545,7 @@ def _call_mlp_blend_bwd(x, xin, d, g2, b2, wfc1, bfc1, wfc2, bfc2, mask,
     try:
         compiler_params = {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024)}
-    except TypeError:                      # API drift: run with defaults
+    except (TypeError, AttributeError):    # API drift: run with defaults
         compiler_params = {}
     f32 = jnp.float32
     sd = jax.ShapeDtypeStruct

@@ -46,6 +46,8 @@ from uvc_tpu.configs import ViTConfig
 from uvc_tpu.compress.state import MinimaxHParams
 from uvc_tpu.models import vit
 from uvc_tpu.models.vit import ForwardOutput, _layer_norm
+from uvc_tpu.ops.gumbel import (gather_tokens_with_pos,
+                                physical_topk_indices, token_scores)
 from uvc_tpu.train.state import (TrainHParams, TrainState, clip_global_norm,
                                  make_weight_optimizer, zero_frozen_updates)
 
@@ -170,28 +172,19 @@ def apply_compact_ft(ctree: dict, meta: CompactMeta, x: jax.Array,
         idx = None
         if token_ratio is not None and token_ratio < 1.0 \
                 and "token_scorer" in top:
+            # shared serving-exact drop helpers (ops/gumbel.py) — the
+            # SAME code path vit.apply and infer/compact.py run
             k = int(token_ratio * cfg.num_patches)
-            scores = (t.astype(jnp.float32)
-                      @ top["token_scorer"]["kernel"].astype(jnp.float32)
-                      + top["token_scorer"]["bias"]).squeeze(-1)
-            boosted = scores.at[:, 0].set(jnp.inf)   # token 0 force-kept
-            idx = jnp.sort(jax.lax.top_k(boosted, k)[1], axis=-1)  # [B, k]
-            t = jnp.take_along_axis(t, idx[..., None], axis=1)
+            idx = physical_topk_indices(
+                token_scores(t, top["token_scorer"]), k)
         tokens = [jnp.broadcast_to(top["cls_token"], (b, 1, cfg.embed_dim)
                                    ).astype(dtype)]
         if cfg.distilled:
             tokens.append(jnp.broadcast_to(
                 top["dist_token"], (b, 1, cfg.embed_dim)).astype(dtype))
         if idx is not None:
-            prefix = len(tokens)
-            pos = top["pos_embed"].astype(dtype)
-            pos_patch = jnp.take_along_axis(
-                jnp.broadcast_to(pos[:, prefix:],
-                                 (b, cfg.num_patches, cfg.embed_dim)),
-                idx[..., None], axis=1)
-            t = jnp.concatenate(
-                [jnp.concatenate(tokens, axis=1) + pos[:, :prefix],
-                 t + pos_patch], axis=1)
+            t = gather_tokens_with_pos(t, idx, tokens, top["pos_embed"],
+                                       dtype)
         else:
             t = jnp.concatenate(tokens + [t], axis=1)
             t = t + top["pos_embed"].astype(dtype)
