@@ -84,6 +84,14 @@ def add_common_flags(p: argparse.ArgumentParser) -> None:
     # TPU-native distribution
     p.add_argument("--use_distribute", default=1, type=int)
     p.add_argument("--enable_writer", default=0, type=int)
+    # XLA trace capture (utils/profiler.py; beyond-reference — the
+    # reference has no device profiler hook, SURVEY.md §5)
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a TensorBoard-loadable XLA trace here")
+    p.add_argument("--profile_start", default=10, type=int,
+                   help="global step to start the trace (post-compile)")
+    p.add_argument("--profile_steps", default=5, type=int,
+                   help="number of steps to trace")
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--mp", type=int, default=1,

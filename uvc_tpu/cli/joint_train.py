@@ -130,6 +130,8 @@ def main(argv=None):
     logger = MetricLogger(args.output_dir, args.name,
                           enable_tensorboard=bool(args.enable_writer))
     logger.info(f"Training parameters {args}")
+    from uvc_tpu.utils import profiler as prof
+    profiler = prof.from_args(args, logger)
     result = run_stage1(cfg, hp, thp, train_loader=train_loader,
                         test_loader=test_loader, params=params,
                         teacher_params=teacher, seed=args.seed,
@@ -138,7 +140,7 @@ def main(argv=None):
                         resume=args.resume, mesh=mesh, mp=args.mp,
                         use_orbax=bool(args.use_orbax),
                         steps_per_launch=args.steps_per_launch,
-                        logger=logger)
+                        logger=logger, profiler=profiler)
 
     # inline stage-2 (reference: joint_train.py:1032-1033)
     from uvc_tpu.train.stage2 import run_stage2

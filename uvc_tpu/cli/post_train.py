@@ -85,6 +85,7 @@ def main(argv=None):
         print(f"Mesh: {dict(mesh.shape)}")
 
     from uvc_tpu.train.stage2 import run_stage2
+    from uvc_tpu.utils import profiler as prof
     run_stage2(cfg, hp, thp, params=params, masks=masks,
                teacher_params=teacher, train_loader=train_loader,
                test_loader=test_loader, seed=args.seed,
@@ -93,7 +94,8 @@ def main(argv=None):
                world_batch=args.train_batch_size,
                steps_per_launch=args.steps_per_launch,
                resume=args.resume, use_orbax=bool(args.use_orbax),
-               compact=bool(args.compact_train))
+               compact=bool(args.compact_train),
+               profiler=prof.from_args(args))
 
 
 if __name__ == "__main__":

@@ -107,7 +107,8 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                eval_each_epoch: bool = True, save_checkpoints: bool = True,
                resume: Optional[str] = None, mesh=None, mp: int = 1,
                use_orbax: bool = False, steps_per_launch: int = 1,
-               logger: Optional[MetricLogger] = None) -> Stage1Result:
+               logger: Optional[MetricLogger] = None,
+               profiler=None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
     key = jax.random.PRNGKey(seed)
@@ -260,6 +261,8 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         buf = []
         for bi, (x, y) in enumerate(
                 device_prefetch(iter(train_loader), put=prefetch_put)):
+            if profiler is not None:
+                profiler.step(global_step)
             if spl > 1:
                 # step bundling: collect spl batches, run them as ONE
                 # program (lax.scan inside the jitted step); tau is
@@ -388,4 +391,6 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                 save_checkpoint(f"{logger.dir}/{cfg.name}_{epoch}.ckpt",
                                 tree)
 
+    if profiler is not None:
+        profiler.close()
     return Stage1Result(state=state, masks=masks, best_acc=best_acc)

@@ -44,7 +44,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                save_checkpoints: bool = True, mesh=None, mp: int = 1,
                steps_per_launch: int = 1, resume: Optional[str] = None,
                use_orbax: bool = False, compact: bool = False,
-               logger: Optional[MetricLogger] = None) -> Stage2Result:
+               logger: Optional[MetricLogger] = None,
+               profiler=None) -> Stage2Result:
     """``compact=True`` fine-tunes the PHYSICALLY COMPACTED model
     (train/compact_ft.py): dropped blocks removed, pruned heads sliced
     out, kept MLP units lane-padded — exactly the masked-dense update
@@ -184,6 +185,8 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         buf = []
         for bi, (x, y) in enumerate(
                 device_prefetch(iter(train_loader), put=prefetch_put)):
+            if profiler is not None:
+                profiler.step(global_step)
             if spl > 1:
                 buf.append((normalize_on_device(x), jnp.asarray(y)))
                 if len(buf) < spl and bi != steps_per_epoch - 1:
@@ -286,4 +289,6 @@ def run_stage2(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                              shard_fn=(None if mesh is None
                                        else shard_fn))
         best_acc = max(best_acc, acc)
+    if profiler is not None:
+        profiler.close()
     return Stage2Result(state=state, best_acc=best_acc)
