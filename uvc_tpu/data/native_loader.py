@@ -20,7 +20,11 @@ from typing import Optional, Sequence
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libuvc_loader.so"))
+# repo checkout: auto-built via make.  Installed-from-wheel deployments
+# (no ../../native) can point UVC_NATIVE_LIB at a prebuilt .so; anything
+# else degrades to the PIL path.
+_LIB_PATH = os.environ.get("UVC_NATIVE_LIB") or os.path.abspath(
+    os.path.join(_NATIVE_DIR, "libuvc_loader.so"))
 
 _lock = threading.Lock()
 _lib = None
