@@ -143,6 +143,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="write the JSON artifact here (E2EACC_r<N>.json)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (train data + init + gumbel); the "
+                         "eval split stays at seed 0 so accuracies are "
+                         "comparable across seeds")
     opts = ap.parse_args()
     t0 = time.time()
 
@@ -150,7 +154,8 @@ def main():
         img_size=IMG, num_classes=CLASSES)
     out = tempfile.mkdtemp(prefix="e2e_acc_")
     train = ProceduralLoader(BATCH, num_batches=STEPS, img_size=IMG,
-                             num_classes=CLASSES, train=True, seed=0,
+                             num_classes=CLASSES, train=True,
+                             seed=opts.seed,
                              **HARD)
     test = ProceduralLoader(BATCH, num_batches=5, img_size=IMG,
                             num_classes=CLASSES, train=False, seed=0,
@@ -167,7 +172,7 @@ def main():
         num_classes=CLASSES, mixup=0.0, cutmix=0.0, smoothing=0.1,
         distillation_type="none", compute_dtype=dtype)
     pre = run_stage1(cfg, hp_pre, thp_pre, train_loader=train,
-                     test_loader=test, seed=0, output_dir=out,
+                     test_loader=test, seed=opts.seed, output_dir=out,
                      name="dense", eval_each_epoch=True,
                      save_checkpoints=False,
                      logger=MetricLogger(out, "dense"))
@@ -190,7 +195,7 @@ def main():
         distillation_type="soft", distillation_alpha=0.1,
         distillation_tau=1.0, compute_dtype=dtype)
     s1 = run_stage1(cfg, hp, thp, train_loader=train, test_loader=test,
-                    params=dense, teacher_params=dense, seed=0,
+                    params=dense, teacher_params=dense, seed=opts.seed,
                     output_dir=out, name="stage1", eval_each_epoch=True,
                     save_checkpoints=False,
                     logger=MetricLogger(out, "stage1"))
@@ -213,7 +218,8 @@ def main():
         distillation_alpha=0.1, distillation_tau=1.0, compute_dtype=dtype)
     s2 = run_stage2(cfg, hp, thp2, params=s1.state.params, masks=s1.masks,
                     teacher_params=dense, train_loader=train,
-                    test_loader=test, seed=0, output_dir=out, name="post",
+                    test_loader=test, seed=opts.seed, output_dir=out,
+                    name="post",
                     eval_every=STEPS, world_batch=BATCH,
                     save_checkpoints=False,
                     logger=MetricLogger(out, "post"))
@@ -276,7 +282,8 @@ def main():
                                  "task at DeiT-Tiny shape instead",
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
-                "ok": bool(ok), "wall_s": round(time.time() - t0, 1),
+                "ok": bool(ok), "seed": opts.seed,
+                "wall_s": round(time.time() - t0, 1),
                 "gates": {k: bool(v) for k, v in gates.items()},
                 "dense_acc": round(dense_acc, 4),
                 "stage1_acc": round(float(s1.best_acc), 4),
