@@ -144,9 +144,11 @@ def main():
     ap.add_argument("--out", default=None,
                     help="write the JSON artifact here (E2EACC_r<N>.json)")
     ap.add_argument("--seed", type=int, default=0,
-                    help="training seed (train data + init + gumbel); the "
-                         "eval split stays at seed 0 so accuracies are "
-                         "comparable across seeds")
+                    help="task + training seed: the procedural class "
+                         "templates derive from it (so train AND eval "
+                         "loaders must share it), as do init and the "
+                         "gumbel streams — each seed is a fresh task "
+                         "instance end to end")
     opts = ap.parse_args()
     t0 = time.time()
 
@@ -158,7 +160,8 @@ def main():
                              seed=opts.seed,
                              **HARD)
     test = ProceduralLoader(BATCH, num_batches=5, img_size=IMG,
-                            num_classes=CLASSES, train=False, seed=0,
+                            num_classes=CLASSES, train=False,
+                            seed=opts.seed,
                             **HARD)
     dtype = (jnp.bfloat16 if jax.devices()[0].platform != "cpu"
              else jnp.float32)

@@ -64,6 +64,18 @@ def main(argv=None):
             from uvc_tpu.utils.checkpoint import load_checkpoint
             ck = load_checkpoint(args.pretrained)
             params = ck["params"] if "params" in ck else ck
+            # score with the checkpoint's own class count: a dataset
+            # whose labels overflow the loaded head would turn every
+            # taylor/sp gradient into a NaN (OOB take_along_axis) and
+            # silently emit all-zero masks
+            import numpy as np
+            head_classes = int(np.asarray(params["head"]["kernel"]).shape[-1])
+            if head_classes != cfg.num_classes:
+                print(f"warning: checkpoint head has {head_classes} classes, "
+                      f"dataset implies {cfg.num_classes}; scoring with "
+                      f"{head_classes} (labels are reduced mod the head "
+                      f"width for gradient scoring)")
+                cfg = cfg.replace(num_classes=head_classes)
         else:
             from uvc_tpu.models.convert import load_torch_checkpoint
             params = load_torch_checkpoint(args.pretrained, cfg)
@@ -108,6 +120,10 @@ def main(argv=None):
         def loss_fn(p, x, y):
             out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
+            # labels reduced mod the head width (see the class-count
+            # warning above): gradient scoring only needs A valid
+            # target per sample, never the true taxonomy
+            y = y % logp.shape[-1]
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         scores = pruning.taylor_scores(params, loss_fn, batches())
@@ -119,6 +135,10 @@ def main(argv=None):
         def loss_fn(p, x, y):
             out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
+            # labels reduced mod the head width (see the class-count
+            # warning above): gradient scoring only needs A valid
+            # target per sample, never the true taxonomy
+            y = y % logp.shape[-1]
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         x, y = batches()[0]
