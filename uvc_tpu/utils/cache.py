@@ -32,4 +32,13 @@ def enable_compilation_cache(directory: Optional[str] = None) -> Optional[str]:
     # would skip most of the small eval/export programs that still cost
     # 20+ s through the relay's remote compile)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # JAX memoizes the cache-enabled decision at the first compile of the
+    # process; if anything compiled before this call (a warmup probe, an
+    # earlier test), the new directory would be silently ignored.  Reset
+    # the singleton so enabling mid-process takes effect.
+    try:
+        from jax._src import compilation_cache as _cc
+        _cc.reset_cache()
+    except Exception:                    # private API drift: best effort
+        pass
     return directory
