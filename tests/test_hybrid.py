@@ -136,6 +136,13 @@ def test_t2t_torch_checkpoint_conversion():
     ln("norm", d)
     lin("head", d, 5)
 
+    # transfer learning: deleted/mismatched head -> fresh trunc-normal init
+    # (T2TViT/utils.py:68-72)
+    sd_nohead = {k: v for k, v in sd.items() if not k.startswith("head.")}
+    p2 = from_t2t_state_dict(sd_nohead, cfg)
+    assert p2["head"]["kernel"].shape == (d, 5)
+    assert np.any(p2["head"]["kernel"] != 0)
+
     params = from_t2t_state_dict(sd, cfg)
     assert params["t2t"]["attention1"]["prm_w"].shape == (td // 2, td)
     assert params["blocks"]["qkv"]["kernel"].shape == (2, d, 3 * d)

@@ -30,6 +30,51 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, np.float32)
 
 
+def _fresh_head(d: int, num_classes: int, seed: int = 0) -> dict:
+    """Freshly initialized classifier head for transfer learning.
+
+    The reference deletes the checkpoint's head when ``num_classes`` differs
+    and keeps the model's own trunc_normal(std=.02) init
+    (T2TViT/utils.py:68-72 + load_for_transfer_learning :88-89)."""
+    rng = np.random.default_rng(seed)
+    k = (rng.standard_normal((d, num_classes)) * 0.02)
+    k = np.clip(k, -0.04, 0.04).astype(np.float32)  # truncate at 2 sigma
+    return {"kernel": k, "bias": np.zeros(num_classes, np.float32)}
+
+
+def resize_pos_embed(pos: np.ndarray, new_len: int, new_prefix: int = 1,
+                     old_prefix: int = 1) -> np.ndarray:
+    """Bicubic grid resize of a learned position embedding.
+
+    Mirrors the reference's transfer-learning resize (T2TViT/utils.py:27-43,
+    itself adapted from the vision_transformer checkpoint tools): the
+    leading class(/dist) token rows are carried over unscaled and the
+    patch-grid rows are interpolated as a 2-D image.  When the target has
+    more prefix rows than the source (plain -> distilled), the extra rows
+    repeat the class-token row."""
+    tok, grid = pos[:, :old_prefix], pos[0, old_prefix:]
+    gs_old = int(np.sqrt(grid.shape[0]))
+    gs_new = int(np.sqrt(new_len - new_prefix))
+    if gs_old * gs_old != grid.shape[0] or gs_new * gs_new != \
+            new_len - new_prefix:
+        raise ValueError(
+            f"pos_embed grid not square: {grid.shape[0]} -> "
+            f"{new_len - new_prefix} tokens")
+    import jax
+    import jax.numpy as jnp
+    grid = grid.reshape(gs_old, gs_old, -1)
+    grid = np.asarray(jax.image.resize(
+        jnp.asarray(grid), (gs_new, gs_new, grid.shape[-1]),
+        method="cubic"), np.float32)
+    if new_prefix <= old_prefix:
+        tok = tok[:, :new_prefix]
+    else:
+        tok = np.concatenate(
+            [tok] + [tok[:, :1]] * (new_prefix - old_prefix), axis=1)
+    return np.concatenate([tok, grid.reshape(1, gs_new * gs_new, -1)],
+                          axis=1)
+
+
 def from_torch_state_dict(sd: Mapping[str, "np.ndarray"], cfg: ViTConfig
                           ) -> dict:
     """Build a uvc_tpu params pytree from a torch state_dict-like mapping."""
@@ -71,11 +116,14 @@ def from_torch_state_dict(sd: Mapping[str, "np.ndarray"], cfg: ViTConfig
         "bias": _np(sd["patch_embed.proj.bias"]),
     }
     params["cls_token"] = _np(sd["cls_token"])
-    params["pos_embed"] = _np(sd["pos_embed"])
-    if params["pos_embed"].shape[1] != cfg.seq_len:
-        raise ValueError(
-            f"pos_embed length {params['pos_embed'].shape[1]} != "
-            f"config seq_len {cfg.seq_len} (distilled mismatch?)")
+    pos = _np(sd["pos_embed"])
+    if pos.shape[1] != cfg.seq_len:
+        # transfer learning at a different image size: bicubic grid resize
+        # (T2TViT/utils.py:77-80; same mechanism as timm's DeiT loaders)
+        pos = resize_pos_embed(pos, cfg.seq_len,
+                               new_prefix=2 if cfg.distilled else 1,
+                               old_prefix=2 if "dist_token" in sd else 1)
+    params["pos_embed"] = pos
 
     params["blocks"] = {
         "ln1": stack_ln("blocks.{}.norm1"),
@@ -87,10 +135,21 @@ def from_torch_state_dict(sd: Mapping[str, "np.ndarray"], cfg: ViTConfig
     }
     params["norm"] = {"scale": _np(sd["norm.weight"]),
                       "bias": _np(sd["norm.bias"])}
-    params["head"] = lin("head.weight", "head.bias")
+    # transfer learning: discard the checkpoint head on class-count mismatch
+    # (or absence — reference transfer checkpoints delete the head keys,
+    # T2TViT/utils.py:68-72) and start from a fresh init
+    if "head.weight" in sd and \
+            _np(sd["head.weight"]).shape[0] == cfg.num_classes:
+        params["head"] = lin("head.weight", "head.bias")
+    else:
+        params["head"] = _fresh_head(d, cfg.num_classes)
     if cfg.distilled:
         params["dist_token"] = _np(sd["dist_token"])
-        params["head_dist"] = lin("head_dist.weight", "head_dist.bias")
+        if "head_dist.weight" in sd and \
+                _np(sd["head_dist.weight"]).shape[0] == cfg.num_classes:
+            params["head_dist"] = lin("head_dist.weight", "head_dist.bias")
+        else:
+            params["head_dist"] = _fresh_head(d, cfg.num_classes, seed=1)
 
     # UVC-specific leaves (present in stage-1 checkpoints, synthesized for
     # plain pretrained DeiT checkpoints)
@@ -235,8 +294,13 @@ def load_npz_checkpoint(path: str, cfg: ViTConfig) -> dict:
         },
         "norm": {"scale": arr("Transformer/encoder_norm/scale"),
                  "bias": arr("Transformer/encoder_norm/bias")},
+        # fine-tuning to a different label set zero-inits the head, the
+        # reference's zero_head semantics (modeling.py:330-332)
         "head": {"kernel": arr("head/kernel").reshape(d, -1),
-                 "bias": arr("head/bias").reshape(-1)},
+                 "bias": arr("head/bias").reshape(-1)}
+        if arr("head/bias").size == cfg.num_classes
+        else {"kernel": np.zeros((d, cfg.num_classes), np.float32),
+              "bias": np.zeros(cfg.num_classes, np.float32)},
         "block_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
         "attn_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
         "mlp_gating": np.tile(np.array([-1.0, 1.0], np.float32), (l, 1)),
@@ -335,8 +399,13 @@ def from_t2t_state_dict(sd: Mapping, cfg: ViTConfig) -> dict:
         },
         "norm": {"scale": _np(sd["norm.weight"]),
                  "bias": _np(sd["norm.bias"])},
+        # transfer learning: fresh head when the checkpoint's class count
+        # differs or its head was deleted (T2TViT/utils.py:68-72)
         "head": {"kernel": _np(sd["head.weight"]).T,
-                 "bias": _np(sd["head.bias"])},
+                 "bias": _np(sd["head.bias"])}
+        if "head.weight" in sd and
+        _np(sd["head.weight"]).shape[0] == cfg.num_classes
+        else _fresh_head(cfg.embed_dim, cfg.num_classes),
         "t2t": {
             "attention1": _t2t_stage(sd, "tokens_to_token.attention1",
                                      performer),
