@@ -92,6 +92,12 @@ def test_npz_loader_and_pos_resize(tmp_path):
     assert out.logits.shape == (2, 5)
     assert bool(jnp.all(jnp.isfinite(out.logits)))
 
+    # fine-tune to a different label set: zero_head (modeling.py:330-332)
+    cfg7 = cfg.replace(num_classes=7)
+    p7 = load_npz_checkpoint(path, cfg7)
+    assert p7["head"]["kernel"].shape == (16, 7)
+    assert not np.any(p7["head"]["kernel"])
+
 
 def test_t2t_torch_checkpoint_conversion():
     """Synthetic T2T-ViT torch state dict (T2TViT naming) -> params
