@@ -18,10 +18,12 @@ def pretrained_ckpt(tmp_path):
     is degenerate by design — the zero-init classifier head (reference
     _init_vit_weights, model_distilled.py:71-74) makes every |g*w|
     taylor score 0 and piles magnitude ties at 0.  Randomize the
-    zero-init leaves to stand in for training."""
+    zero-init leaves to stand in for training.  The head matches the
+    synthetic dataset's 1000 classes so gradient scoring sees every
+    label (mismatched heads now FILTER batches instead of aliasing)."""
     from uvc_tpu.configs import get_config
     from uvc_tpu.models import get_model
-    cfg = get_config("testing").replace(img_size=32)
+    cfg = get_config("testing").replace(img_size=32, num_classes=1000)
     params = get_model(cfg).init_params(jax.random.PRNGKey(0), cfg)
     k1, k2 = jax.random.split(jax.random.PRNGKey(1))
     params["head"]["kernel"] = 0.02 * jax.random.normal(
@@ -52,6 +54,31 @@ def test_generate_mask_cli_hits_sparsity(tmp_path, pretrained_ckpt,
     # is per-leaf so rounding on the micro config's tiny leaves widens it
     tol = 0.02 if scope == "global" else 0.1
     assert abs(kept / total - 0.5) < tol
+
+
+def test_generate_mask_mismatched_head_filters_not_aliases(tmp_path,
+                                                           capsys):
+    """A 10-class checkpoint scored against 1000-class synthetic data
+    must not alias labels mod the head width (ADVICE r4): batches are
+    filtered to expressible labels, and when none survive the CLI
+    refuses with guidance instead of emitting skewed masks."""
+    from uvc_tpu.configs import get_config
+    from uvc_tpu.models import get_model
+    cfg = get_config("testing").replace(img_size=32)  # 10-class head
+    params = get_model(cfg).init_params(jax.random.PRNGKey(0), cfg)
+    params["head"]["kernel"] = 0.02 * jax.random.normal(
+        jax.random.PRNGKey(1), params["head"]["kernel"].shape)
+    ckpt = tmp_path / "narrow.ckpt"
+    save_checkpoint(str(ckpt), {"params": params})
+    # synthetic seed-0 labels are ~uniform over 1000 classes: a 4-sample
+    # batch deterministically has none < 10
+    with pytest.raises(SystemExit, match="labels"):
+        gen_main(["--type", "taylor", "--sparsity", "0.5",
+                  "--model_type", "testing", "--dataset", "synthetic",
+                  "--input_size", "32", "--batch_size", "4",
+                  "--num_batches", "1", "--pretrained", str(ckpt),
+                  "--save_file", str(tmp_path / "out.ckpt")])
+    assert "filtered to labels" in capsys.readouterr().out
 
 
 def test_generate_mask_cli_sp_structured(tmp_path):

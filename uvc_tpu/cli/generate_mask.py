@@ -73,8 +73,8 @@ def main(argv=None):
             if head_classes != cfg.num_classes:
                 print(f"warning: checkpoint head has {head_classes} classes, "
                       f"dataset implies {cfg.num_classes}; scoring with "
-                      f"{head_classes} (labels are reduced mod the head "
-                      f"width for gradient scoring)")
+                      f"{head_classes} (scoring batches are filtered to "
+                      f"labels the loaded head can express)")
                 cfg = cfg.replace(num_classes=head_classes)
         else:
             from uvc_tpu.models.convert import load_torch_checkpoint
@@ -92,12 +92,27 @@ def main(argv=None):
             img_size=args.input_size)
         train, _ = build_loaders(ns, num_classes, args.input_size)
         from uvc_tpu.data.pipeline import normalize_on_device
+        import numpy as np
         out = []
         for i, (x, y) in enumerate(train):
             if i >= args.num_batches:
                 break
+            x, y = np.asarray(x), np.asarray(y)
+            # a checkpoint head narrower than the dataset can only
+            # express labels < head width: drop the rest instead of
+            # aliasing them (mod-reduction skews gradient importance)
+            keep = y < cfg.num_classes
+            if not keep.all():
+                x, y = x[keep], y[keep]
+            if y.size == 0:
+                continue
             out.append((normalize_on_device(jnp.asarray(x)),
                         jnp.asarray(y)))
+        if not out:
+            raise SystemExit(
+                f"no scoring samples have labels < the checkpoint head "
+                f"width ({cfg.num_classes}); use a checkpoint matching "
+                f"the dataset or score with --type mag/synflow")
         return out
 
     if args.type == "mag":
@@ -120,10 +135,8 @@ def main(argv=None):
         def loss_fn(p, x, y):
             out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
-            # labels reduced mod the head width (see the class-count
-            # warning above): gradient scoring only needs A valid
-            # target per sample, never the true taxonomy
-            y = y % logp.shape[-1]
+            # batches() guarantees y < head width (mismatched labels
+            # are filtered out, never aliased)
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         scores = pruning.taylor_scores(params, loss_fn, batches())
@@ -135,10 +148,8 @@ def main(argv=None):
         def loss_fn(p, x, y):
             out = get_model(cfg).apply(p, x, cfg, train=True)
             logp = jax.nn.log_softmax(out.logits, axis=-1)
-            # labels reduced mod the head width (see the class-count
-            # warning above): gradient scoring only needs A valid
-            # target per sample, never the true taxonomy
-            y = y % logp.shape[-1]
+            # batches() guarantees y < head width (mismatched labels
+            # are filtered out, never aliased)
             return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
 
         x, y = batches()[0]

@@ -134,7 +134,10 @@ def _probe_run_dir(argv: List[str]) -> tuple:
             import yaml
             with open(known.config) as f:
                 overrides = yaml.safe_load(f) or {}
-        except OSError:
+        except Exception:
+            # best-effort probe only (missing pyyaml, malformed YAML,
+            # unreadable file): the trainer surfaces real config errors
+            # itself — the launcher must never die here
             overrides = {}
         if not _has_flag(argv, "--output_dir") and "output_dir" in overrides:
             known.output_dir = overrides["output_dir"]

@@ -37,8 +37,14 @@ def _fresh_head(d: int, num_classes: int, seed: int = 0) -> dict:
     and keeps the model's own trunc_normal(std=.02) init
     (T2TViT/utils.py:68-72 + load_for_transfer_learning :88-89)."""
     rng = np.random.default_rng(seed)
-    k = (rng.standard_normal((d, num_classes)) * 0.02)
-    k = np.clip(k, -0.04, 0.04).astype(np.float32)  # truncate at 2 sigma
+    # resample out-of-range draws (timm trunc_normal_ semantics) instead
+    # of clipping, which would put point masses at +-2 sigma
+    k = rng.standard_normal((d, num_classes))
+    bad = np.abs(k) > 2.0
+    while bad.any():
+        k[bad] = rng.standard_normal(int(bad.sum()))
+        bad = np.abs(k) > 2.0
+    k = (k * 0.02).astype(np.float32)
     return {"kernel": k, "bias": np.zeros(num_classes, np.float32)}
 
 
