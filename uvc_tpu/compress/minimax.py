@@ -35,7 +35,7 @@ from uvc_tpu.compress.resource import (MacsTable, flops2_fraction,
 from uvc_tpu.compress.scores import group_scores
 from uvc_tpu.compress.state import CompressionState, MinimaxHParams, OptState
 from uvc_tpu.ops.gumbel import block_gating_distrib
-from uvc_tpu.ops.stes import least_k_sum, ste_ceil
+from uvc_tpu.ops.stes import least_k_sum, ste_ceil, torch_clamp
 
 
 def init_compression_state(cfg: ViTConfig, hp: MinimaxHParams
@@ -168,7 +168,9 @@ def arch_update(params: dict, cstate: CompressionState, *,
     def clipped_excess(s, r, g):
         res = _resource(k_res1, s, r, g, scores2, cstate.eps, table, cfg, hp,
                         gumbel_hard=gumbel_hard, warmup=warmup)
-        return jnp.clip(res - hp.budget, -hp.z_grad_clip, hp.z_grad_clip)
+        # torch_clamp for the boundary-inclusive gradient (torch clamp
+        # semantics, uvc_optimizer.py:50)
+        return torch_clamp(res - hp.budget, -hp.z_grad_clip, hp.z_grad_clip)
 
     if gating is not None:
         (s_grad2, r_grad2, g_grad_resource) = jax.grad(
@@ -230,18 +232,22 @@ def arch_update(params: dict, cstate: CompressionState, *,
 
     # ---- dual ascent + projection ----------------------------------------
     # grad_y(-yloss) = -bottom-k score sums => y += ylr * least_norms
-    # (uvc_utils.py:231-266, uvc_optimizer.py:126-135).
-    sc = jnp.ceil(jax.lax.stop_gradient(cstate.s))
-    rc = jnp.ceil(jax.lax.stop_gradient(cstate.r))
+    # (uvc_utils.py:231-266, uvc_optimizer.py:126-135).  The reference's
+    # dual loss is evaluated AFTER the in-place s/r optimizer steps and the
+    # gating step (uvc_optimizer.py:108/120 precede :126), so the ascent
+    # uses the POST-step primal values — verified differentially in
+    # tests/test_reference_differential.py.
+    sc = jnp.ceil(jax.lax.stop_gradient(s_new))
+    rc = jnp.ceil(jax.lax.stop_gradient(r_new))
     least_s = jnp.stack([least_k_sum(sc[:, 0], scores2),
                          least_k_sum(sc[:, 1], scores3)], axis=-1)  # [L, 2]
     least_r = least_k_sum(rc, scores1)                              # [L, H]
     y_new = jnp.maximum(cstate.y + hp.ylr * least_s, 0.0)
     p_new = jnp.maximum(cstate.p + hp.plr * least_r, 0.0)
     # zloss draws a fresh gating sample (run_resource_fn inside zloss,
-    # uvc_utils.py:268-269).
+    # uvc_utils.py:268-269), also on the post-step primal/gating values.
     gating_for_z = params.get("block_gating") if gating is not None else None
-    z_excess = _resource(k_res2, cstate.s, cstate.r, gating_for_z, scores2,
+    z_excess = _resource(k_res2, s_new, r_new, gating_for_z, scores2,
                          cstate.eps, table, cfg, hp,
                          gumbel_hard=gumbel_hard, warmup=warmup) - hp.budget
     z_new = jnp.maximum(cstate.z + cstate.zlr * z_excess, 0.0)

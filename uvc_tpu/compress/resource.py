@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from uvc_tpu.configs import ViTConfig
-from uvc_tpu.ops.stes import ste_ceil, ste_floor, bottom_k_mask
+from uvc_tpu.ops.stes import ste_ceil, ste_floor, bottom_k_mask, torch_clamp
 
 
 class MacsTable(NamedTuple):
@@ -144,7 +144,10 @@ def flops_fraction(s: jax.Array, r: jax.Array, scores2: jax.Array,
     s_c = ste_ceil(s)
     r_c = ste_ceil(r)
     s_ub = jnp.array([h, dff], dtype=s.dtype)
-    s_ratio = jnp.clip((s_ub - s_c) / s_ub, 0.0, 1.0)  # [L, 2]
+    # torch_clamp, not jnp.clip: at s = 0 the ratio sits exactly on the
+    # 1.0 boundary and must still receive the full budget-pressure grad
+    # (torch clamp is boundary-inclusive; uvc_utils.py:415-416)
+    s_ratio = torch_clamp((s_ub - s_c) / s_ub, 0.0, 1.0)  # [L, 2]
 
     # heads in the bottom-ceil(s0) by weight norm are wholly removed; the
     # remaining heads each lose r dims (uvc_utils.py:417-433).
@@ -152,7 +155,7 @@ def flops_fraction(s: jax.Array, r: jax.Array, scores2: jax.Array,
     pruned_head = bottom_k_mask(scores2, k_heads)  # [L, H] True = removed
     attn_keep = (d - s_c[:, 0] * hs
                  - jnp.sum(jnp.where(pruned_head, 0.0, r_c), axis=-1))
-    r_ratio = jnp.clip(attn_keep / d, 0.0, 1.0)  # [L]
+    r_ratio = torch_clamp(attn_keep / d, 0.0, 1.0)  # [L]
 
     m01 = jnp.asarray(table.m01, dtype=s.dtype)
     m23 = jnp.asarray(table.m23, dtype=s.dtype)

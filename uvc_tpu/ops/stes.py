@@ -90,6 +90,34 @@ def _least_k_sum_bwd(grad_seed, g):
 least_k_sum.defvjp(_least_k_sum_fwd, _least_k_sum_bwd)
 
 
+@jax.custom_vjp
+def torch_clamp(x: jax.Array, lo: float, hi: float) -> jax.Array:
+    """``torch.clamp`` with torch's boundary-inclusive gradient.
+
+    ``jnp.clip`` lowers to min/max, whose JAX gradients split 50/50 at
+    exact ties — so a value sitting exactly ON the clamp boundary (e.g.
+    the FLOPs ratio 1.0 at s = 0) receives only half the upstream
+    gradient.  torch's clamp backward passes the full gradient wherever
+    ``lo <= x <= hi`` (inclusive), which the resource function's
+    semantics depend on (uvc_utils.py:416,436: ratios start at the 1.0
+    boundary with full budget pressure).  Found by the differential test
+    (tests/test_reference_differential.py): at init the reference's
+    s/r resource grads are exactly 2x the jnp.clip version's.
+    """
+    return jnp.clip(x, lo, hi)
+
+
+def _torch_clamp_fwd(x, lo, hi):
+    return jnp.clip(x, lo, hi), (x >= lo) & (x <= hi)
+
+
+def _torch_clamp_bwd(inside, g):
+    return (jnp.where(inside, g, 0.0), None, None)
+
+
+torch_clamp.defvjp(_torch_clamp_fwd, _torch_clamp_bwd)
+
+
 def bottom_k_mask(scores: jax.Array, k: jax.Array) -> jax.Array:
     """Boolean mask selecting the ``k`` smallest entries along the last axis.
 
