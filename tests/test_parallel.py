@@ -73,6 +73,55 @@ def test_dp_step_matches_single_device():
     np.testing.assert_allclose(qk1, qk8, atol=2e-5)
 
 
+def test_stage2_dp_step_matches_single_device():
+    """Stage 2 is the reference's longest job (post_train.py:270-403):
+    the mask-frozen distillation step on the 8-way data mesh must
+    reproduce the single-device loss and weight update exactly."""
+    from uvc_tpu.compress.masks import build_masks
+    from uvc_tpu.train.step import build_stage2_step
+
+    hp = MinimaxHParams(enable_patch_gating=0)
+    thp = TrainHParams(num_classes=CFG.num_classes, t_total=100,
+                       warmup_steps=2, mixup=0.0, cutmix=0.0,
+                       compute_dtype=jnp.float32)
+    params = vit.init_params(jax.random.PRNGKey(0), CFG)
+    teacher = vit.init_params(jax.random.PRNGKey(1), CFG)
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (8, CFG.img_size, CFG.img_size, 3))
+    y = jax.random.randint(key, (8,), 0, CFG.num_classes)
+    # non-trivial discovered architecture: prune 1 unit in layer 0's MLP
+    s = jnp.zeros((CFG.depth, 2)).at[0, 1].set(1.0)
+    masks = build_masks(params, s, jnp.zeros((CFG.depth, CFG.num_heads)),
+                        CFG)
+
+    step = build_stage2_step(CFG, hp, thp, donate=False)
+
+    state1 = create_train_state(params, thp, None)
+    s1, m1 = step(state1, teacher, masks, x, y, key)
+
+    mesh = make_mesh()
+    with mesh:
+        statep = create_train_state(params, thp, None)
+        statep = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), statep)
+        teacherp = replicate(teacher, mesh)
+        masksp = replicate(masks, mesh)
+        xp, yp = shard_batch((x, y), mesh)
+        keyp = jax.device_put(key, NamedSharding(mesh, P()))
+        s8, m8 = step(statep, teacherp, masksp, xp, yp, keyp)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-5)
+    qk1 = np.asarray(s1.params["blocks"]["qkv"]["kernel"])
+    qk8 = np.asarray(s8.params["blocks"]["qkv"]["kernel"])
+    np.testing.assert_allclose(qk1, qk8, atol=2e-5)
+    # the frozen gating must not have moved on either path
+    np.testing.assert_array_equal(np.asarray(s1.params["block_gating"]),
+                                  np.asarray(params["block_gating"]))
+    np.testing.assert_array_equal(np.asarray(s8.params["block_gating"]),
+                                  np.asarray(params["block_gating"]))
+
+
 def test_tensor_parallel_forward_matches():
     """TP-sharded forward must equal the replicated forward."""
     cfg = get_config("deit_tiny_patch16_224").replace(img_size=32,
