@@ -288,6 +288,15 @@ def main():
         models["deit_tiny_patch16_224"] = _bounded(
             420, bench_model, "deit_tiny_patch16_224", 512, 20,
             on_tpu=on_tpu)
+        if isinstance(models["deit_tiny_patch16_224"], dict):
+            # Tiny's ~23% MFU is STRUCTURAL, not a kernel bug: dh=64
+            # per-head matmuls halve MXU K/N utilization, and deleting
+            # the entire softmax changes wall time < 8% at every width
+            # (ATTNFWD_r04.json, scripts/tpu_attn_fwd_lab.py; packing/
+            # fold variants measured out there too)
+            models["deit_tiny_patch16_224"]["note"] = (
+                "low MFU structural (dh=64 matmul granularity; "
+                "ATTNFWD_r04)")
         models["deit_base_patch16_224"] = _bounded(
             420, bench_model, "deit_base_patch16_224", 128, 10,
             on_tpu=on_tpu)
