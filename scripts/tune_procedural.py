@@ -52,10 +52,19 @@ GRID = [
     (0.38, "lowpass", 0, 4.0),    # by BEST-epoch acc (0.998).  Measured:
                                   # 0.40 -> 0.9594, 0.38 -> 0.9266;
                                   # e2e_accuracy HARD uses 0.38.
+    # round-5: per-image contrast SPECTRUM (contrast_range) so accuracy
+    # measures the model's decoding threshold and cannot saturate at any
+    # training budget (the scalar-contrast task hit 1.0 at the compressed
+    # stages, E2EACC_r04_seed1).  Probe with --epochs 25 to see the
+    # long-budget ceiling, not just the 5-epoch dense point.
+    {"contrast_range": (0.22, 0.45), "noise_mode": "lowpass", "freq": 4.0},
+    {"contrast_range": (0.25, 0.48), "noise_mode": "lowpass", "freq": 4.0},
+    {"contrast_range": (0.28, 0.52), "noise_mode": "lowpass", "freq": 4.0},
 ]
 
 
-def run_one(contrast, noise_mode, jitter, freq):
+def run_one(contrast, noise_mode, jitter, freq, *, epochs=EPOCHS,
+            contrast_range=None, seed=0):
     from uvc_tpu.compress.state import MinimaxHParams
     from uvc_tpu.configs import get_config
     from uvc_tpu.data.pipeline import ProceduralLoader
@@ -66,7 +75,8 @@ def run_one(contrast, noise_mode, jitter, freq):
     cfg = get_config("deit_tiny_distilled_patch16_224").replace(
         img_size=IMG, num_classes=CLASSES)
     kw = dict(num_classes=CLASSES, img_size=IMG, contrast=contrast,
-              noise_mode=noise_mode, jitter=jitter, freq=freq, seed=0)
+              noise_mode=noise_mode, jitter=jitter, freq=freq, seed=seed,
+              contrast_range=contrast_range)
     train = ProceduralLoader(BATCH, num_batches=STEPS, train=True, **kw)
     test = ProceduralLoader(BATCH, num_batches=5, train=False, **kw)
     dtype = (jnp.bfloat16 if jax.devices()[0].platform != "cpu"
@@ -74,13 +84,13 @@ def run_one(contrast, noise_mode, jitter, freq):
     hp = MinimaxHParams(enable_patch_gating=0, enable_pruning=False)
     thp = TrainHParams(
         learning_rate=1e-3, warmup_lr=1e-3, weight_decay=0.05,
-        warmup_steps=0, t_total=EPOCHS * STEPS, num_epochs=EPOCHS,
-        warmup_epochs=EPOCHS, num_classes=CLASSES, mixup=0.0, cutmix=0.0,
+        warmup_steps=0, t_total=epochs * STEPS, num_epochs=epochs,
+        warmup_epochs=epochs, num_classes=CLASSES, mixup=0.0, cutmix=0.0,
         smoothing=0.1, distillation_type="none", compute_dtype=dtype)
     out = tempfile.mkdtemp(prefix="tune_proc_")
     t0 = time.time()
     res = run_stage1(cfg, hp, thp, train_loader=train, test_loader=test,
-                     seed=0, output_dir=out, name="dense",
+                     seed=seed, output_dir=out, name="dense",
                      eval_each_epoch=True, save_checkpoints=False,
                      logger=MetricLogger(out, "dense"))
     return float(res.best_acc), time.time() - t0
@@ -90,14 +100,32 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--settings", default=None,
                     help="comma-separated GRID indices (default: all)")
+    ap.add_argument("--epochs", type=int, default=EPOCHS,
+                    help="training epochs (use ~25 to probe the "
+                         "long-budget ceiling the e2e pipeline reaches)")
+    ap.add_argument("--seed", type=int, default=0)
     opts = ap.parse_args()
     idxs = (list(range(len(GRID))) if opts.settings is None
             else [int(i) for i in opts.settings.split(",")])
     rows = []
     for i in idxs:
-        c, nm, j, f = GRID[i]
-        acc, dt = run_one(c, nm, j, f)
-        row = {"contrast": c, "noise": nm, "jitter": j, "freq": f,
+        g = GRID[i]
+        if isinstance(g, dict):
+            spec = dict(contrast=g.get("contrast", 0.0),
+                        noise_mode=g.get("noise_mode", "lowpass"),
+                        jitter=g.get("jitter", 0),
+                        freq=g.get("freq", 4.0),
+                        contrast_range=g.get("contrast_range"))
+        else:
+            c, nm, j, f = g
+            spec = dict(contrast=c, noise_mode=nm, jitter=j, freq=f,
+                        contrast_range=None)
+        acc, dt = run_one(spec["contrast"], spec["noise_mode"],
+                          spec["jitter"], spec["freq"],
+                          epochs=opts.epochs,
+                          contrast_range=spec["contrast_range"],
+                          seed=opts.seed)
+        row = {**spec, "epochs": opts.epochs, "seed": opts.seed,
                "dense_acc": round(acc, 4), "wall_s": round(dt, 1)}
         rows.append(row)
         print(json.dumps(row), flush=True)

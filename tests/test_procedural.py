@@ -100,6 +100,38 @@ def test_hard_mode_knobs():
     assert not np.array_equal(cls0[0], cls0[1])
 
 
+def test_contrast_range_spectrum():
+    """Per-image contrast spectrum (the r5 de-saturation knob): images in
+    one batch span the requested difficulty range, deterministically per
+    (seed, epoch), and the scalar-contrast path is untouched."""
+    kw = dict(num_batches=1, img_size=32, num_classes=10, train=True,
+              noise_mode="lowpass", seed=5)
+    spec = ProceduralLoader(64, contrast_range=(0.2, 0.6), **kw)
+    x, y = _batches(spec)[0]
+    assert x.shape == (64, 32, 32, 3) and x.dtype == np.uint8
+    # per-image contrast variation shows up as per-image dynamic range
+    # spread: correlate each image against its class template
+    tpl = spec.templates[y]
+    corr = []
+    for i in range(64):
+        a = x[i].astype(np.float32).ravel()
+        b = tpl[i].ravel()
+        corr.append(np.corrcoef(a, b)[0, 1])
+    corr = np.asarray(corr)
+    assert corr.max() - corr.min() > 0.2, \
+        "contrast range produced no difficulty spread"
+    # determinism
+    x2, y2 = _batches(ProceduralLoader(64, contrast_range=(0.2, 0.6),
+                                       **kw))[0]
+    np.testing.assert_array_equal(x, x2)
+    np.testing.assert_array_equal(y, y2)
+    # scalar path unchanged by the new knob's presence
+    a1 = _batches(ProceduralLoader(8, contrast=0.4, **kw))[0][0]
+    a2 = _batches(ProceduralLoader(8, contrast=0.4, contrast_range=None,
+                                   **kw))[0][0]
+    np.testing.assert_array_equal(a1, a2)
+
+
 def test_hard_mode_linear_probe_degrades():
     """The de-saturation point: the pixel-space least-squares probe that
     scores >0.9 on the default task must NOT trivially solve the hard

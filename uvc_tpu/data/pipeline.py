@@ -450,7 +450,7 @@ class ProceduralLoader:
                  img_size: int = 32, num_classes: int = 10,
                  train: bool = True, contrast: float = 0.55,
                  freq: float = 4.0, noise_mode: str = "white",
-                 jitter: int = 0,
+                 jitter: int = 0, contrast_range=None,
                  seed: int = 0, pid: int = 0, pcount: int = 1):
         """Difficulty knobs (defaults reproduce the original task):
 
@@ -465,6 +465,15 @@ class ProceduralLoader:
                     template: class identity stays (the frequency set is
                     shift-invariant) but pixel-position memorization
                     stops working.
+        contrast_range  (lo, hi): per-IMAGE contrast drawn uniformly from
+                    the range instead of the scalar ``contrast``.  A
+                    difficulty *spectrum* makes accuracy measure where a
+                    model's decoding threshold sits — strictly increasing
+                    in model quality with no 1.0 ceiling (images near
+                    ``lo`` stay ambiguous for any model), which keeps the
+                    e2e accuracy gates discriminative at every pipeline
+                    stage (VERDICT r4: a single-contrast task saturates
+                    once the total training budget is large enough).
         """
         self.batch_size = batch_size
         self.num_batches = num_batches
@@ -472,6 +481,7 @@ class ProceduralLoader:
         self.num_classes = num_classes
         self.train = train
         self.contrast = contrast
+        self.contrast_range = contrast_range
         self.freq = freq
         self.noise_mode = noise_mode
         self.jitter = jitter
@@ -533,7 +543,13 @@ class ProceduralLoader:
             tpl = np.stack([
                 np.roll(t, (int(dy), int(dx)), axis=(0, 1))
                 for t, (dy, dx) in zip(tpl, sh)])
-        x = self.contrast * tpl + (1.0 - self.contrast) * noise
+        if self.contrast_range is not None:
+            lo, hi = self.contrast_range
+            c = rng.uniform(lo, hi, (self.batch_size, 1, 1, 1)
+                            ).astype(np.float32)
+        else:
+            c = self.contrast
+        x = c * tpl + (1.0 - c) * noise
         return (x * 255.0).astype(np.uint8), y
 
     def __iter__(self):
