@@ -19,14 +19,20 @@ survives the whole pipeline, including the serving artifact:
            serving, evaluated on the same held-out stream
 
 The r3 harness was SATURATED (every stage scored 1.0, so the delta gates
-were vacuous — VERDICT r3 weak #2).  r4 hardens the task (lowpass noise
-in the template band + per-image template jitter + lower contrast, see
-ProceduralLoader's knobs) so dense lands below ceiling and compression
-shows a real, bounded cost — mirroring the reference's -0.98 drop at
-50.41% FLOPs (README.md:23).
+were vacuous — VERDICT r3 weak #2).  r4 hardened the task with a lower
+single contrast, which de-saturated the DENSE stage but not the
+compressed stages: the procedural stream is effectively infinite data,
+so the later stages' larger cumulative training budget pushed them to
+1.0 at seed 1 (E2EACC_r04_seed1: stage2 = slim = 1.0 — VERDICT r4
+missing #2).  r5 replaces the scalar contrast with a per-image contrast
+SPECTRUM (ProceduralLoader contrast_range): accuracy then measures where
+each model's decoding threshold sits inside the range — strictly
+increasing in model quality with no reachable 1.0 ceiling (images near
+the low end stay ambiguous for any model), so every stage is
+discriminative at every seed.  Saturation guards (A8/A9) enforce it.
 
 Gates:
-  A1  0.85 <= dense accuracy <= 0.995       (learnable AND unsaturated)
+  A1  0.72 <= dense accuracy <= 0.97        (learnable AND unsaturated)
   A2  stage-2 accuracy >= dense - 0.06      (accuracy recovered at the
                                              compressed architecture)
   A3  stage-1 final Real FLOPs <= 0.62      (constraint bound)
@@ -43,8 +49,11 @@ Gates:
       trained semantics; the first r4 run, where stage-2 trained under
       the MASKED drop, measured the mismatch at 2.35 points (this gate's
       original failure)
+  A8  stage-2 accuracy <= 0.98  (saturation guard: the compressed-stage
+      mirror of A1's ceiling — a ceilinged gate has no detection power)
+  A9  slimmed accuracy <= 0.98  (same guard on the serving artifact)
 
-Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r04.json
+Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r05.json
 """
 
 import argparse
@@ -69,14 +78,18 @@ BATCH = 128
 CLASSES = 50
 IMG = 64
 TOKEN_RATIO = 0.7
-# difficulty (tuned with scripts/tune_procedural.py so dense lands in
-# the 0.90-0.97 band; the r3 settings — contrast .55, white noise, no
-# jitter — saturated at 1.0).  Sweep (same budget as phase A, BEST-epoch
-# acc): jitter at ANY strength collapses learning to chance; lowpass
-# contrast 0.45/0.40/0.38/0.35/0.28 -> dense .998/.959/.927/.895/.469.
-# 0.38 picked: mid-band with margin below the 0.995 saturation ceiling
-# (0.45 drifted 0.958 -> 0.998 across sweeps, so ~±0.03 seed variance).
-HARD = dict(contrast=0.38, noise_mode="lowpass", jitter=0, freq=4.0)
+# difficulty (tuned with scripts/tune_procedural.py).  r4 history:
+# scalar lowpass contrast 0.45/0.40/0.38/0.35/0.28 -> 5-epoch dense
+# .998/.959/.927/.895/.469; 0.38 de-saturated dense but the compressed
+# stages still hit 1.0 at seed 1 (infinite-stream task: more steps ->
+# higher acc, no ceiling short of 1.0).  r5: per-image contrast SPECTRUM
+# — each image's template weight is drawn from contrast_range, so the
+# eval set always contains near-ambiguous images and accuracy measures
+# the decoding threshold (see ProceduralLoader docstring).  Range picked
+# by the r5 sweep (tune_procedural --epochs 25, the pipeline's total
+# budget): see ledger in the artifact.
+HARD = dict(contrast_range=(0.25, 0.48), noise_mode="lowpass", jitter=0,
+            freq=4.0)
 
 
 def serving_accuracy(layers, top, cfg, loader, *, token_ratio=None):
@@ -259,8 +272,8 @@ def main():
           f"slim {md_slim_acc * 100:.1f}%", flush=True)
 
     gates = {
-        "A1 0.85 <= dense acc <= 0.995":
-            0.85 <= dense_acc <= 0.995,
+        "A1 0.72 <= dense acc <= 0.97":
+            0.72 <= dense_acc <= 0.97,
         "A2 stage-2 acc >= dense - 0.06": stage2_acc >= dense_acc - 0.06,
         "A3 stage-1 real FLOPs <= 0.62": final_flops <= 0.62,
         "A4 compact acc >= masked-dense full - 0.01":
@@ -269,6 +282,8 @@ def main():
         "A6 compact FLOPs <= real + 0.05": frac <= final_flops + 0.05,
         "A7 slim acc >= masked-dense slim - 0.02":
             slim_acc >= md_slim_acc - 0.02,
+        "A8 stage-2 acc <= 0.98 (unsaturated)": stage2_acc <= 0.98,
+        "A9 slim acc <= 0.98 (unsaturated)": slim_acc <= 0.98,
     }
     ok = True
     for name, passed in gates.items():

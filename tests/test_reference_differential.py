@@ -298,6 +298,52 @@ def test_minimax_trajectory_parity(ref):
             err_msg=f"mlp (fc1-row) mask mismatch layer {i}")
 
 
+@pytest.mark.parametrize("optname", ["adam", "rmsprop"])
+def test_minimax_trajectory_parity_optimizers(ref, optname):
+    """Shorter trajectory with the alternative s/r optimizers
+    (uvc_optimizer.py:219-249): torch Adam betas=(0.0, 0.999) incl. bias
+    correction, and RMSprop alpha=0.99 — catches any drift in
+    compress/optim.py's re-derived update rules."""
+    global HP
+    hp_saved = HP
+    HP = dataclass_replace(HP, soptim=optname, roptim=optname)
+    try:
+        init = _shared_init(17)
+        table = build_macs_table(CFG)
+        model, mm, opts, flops_list = _build_reference(ref, init, table)
+        weight_opt, s_opt, r_opt, g_opt, d_opt = opts
+        params = _jax_params(init)
+        cstate = init_compression_state(CFG, HP)
+        key = jax.random.PRNGKey(0)
+        glist = []
+        for t in range(10):
+            mm.block_skip_gating.grad = torch.from_numpy(
+                init["ggrads"][t]).clone()
+            _, s_np, r_np, _, glist = ref.opt.uvc_optimizer(
+                weight_opt, mm, s_opt, r_opt, g_opt, d_opt, _ref_args(),
+                {}, [], flops_list, Z_CLIP, t, INTERVAL, glist)
+            params, cstate, _ = arch_update(
+                params, cstate, key=key, step=jnp.asarray(t),
+                gating_loss_grad=jnp.asarray(init["ggrads"][t]),
+                main_lr=jnp.asarray(MAIN_LR), hp=HP, cfg=CFG, table=table,
+                warmup=False, gumbel_hard=False)
+            tol = dict(rtol=3e-4, atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(cstate.s), s_np,
+                err_msg=f"[{optname}] s diverged at step {t}", **tol)
+            np.testing.assert_allclose(
+                np.asarray(cstate.r), r_np,
+                err_msg=f"[{optname}] r diverged at step {t}", **tol)
+        assert float(jnp.max(cstate.s)) > 0, "s never moved"
+    finally:
+        HP = hp_saved
+
+
+def dataclass_replace(hp, **kw):
+    import dataclasses
+    return dataclasses.replace(hp, **kw)
+
+
 def test_calc_flops_parity_random_draws(ref):
     """calc_flops (uvc_utils.py:409-462) == flops_fraction on random
     (s, r, gating) draws, softl0 distrib, including the head-exclusion
