@@ -8,7 +8,9 @@ first (prox_w, called at :42).  One call performs:
   1. prox on weights (shrink bottom groups by the dual-weighted factor);
   2. primal gradients for s and r:  grad(loss1) + z * grad(resource), with
      the resource excess clipped to +-z_grad_clip *before* differentiation
-     (torch clamp kills gradients outside the window — mirrored by jnp.clip);
+     (torch clamp kills gradients outside the window and passes the FULL
+     gradient on the boundary — mirrored by ops/stes.torch_clamp, NOT
+     jnp.clip, whose min/max grads split 50/50 at exact ties);
   3. block-gating gradient accumulation and the every-``gating_interval``
      SGD-momentum step (reference :89-98 — note the reference weights each
      accumulated grad by ``step % interval`` before averaging; mirrored);
