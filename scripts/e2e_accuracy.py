@@ -49,9 +49,10 @@ Gates:
       trained semantics; the first r4 run, where stage-2 trained under
       the MASKED drop, measured the mismatch at 2.35 points (this gate's
       original failure)
-  A8  stage-2 accuracy <= 0.98  (saturation guard: the compressed-stage
-      mirror of A1's ceiling — a ceilinged gate has no detection power)
-  A9  slimmed accuracy <= 0.98  (same guard on the serving artifact)
+  A8  stage-2 accuracy <= 0.985 (saturation guard: the compressed-stage
+      mirror of A1's ceiling — a ceilinged gate has no detection power;
+      the task range is picked so the 25-epoch dense ceiling is 0.973)
+  A9  slimmed accuracy <= 0.985 (same guard on the serving artifact)
 
 Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r05.json
 """
@@ -71,7 +72,8 @@ import numpy as np
 
 EPOCHS = 15
 WARMUP = 1
-PRETRAIN_EPOCHS = 5
+PRETRAIN_EPOCHS = 7   # r5: the contrast-spectrum task needs ~7 epochs for
+                      # a decent dense baseline (sweep: ep5 .678, ep7 .92)
 STAGE2_EPOCHS = 8
 STEPS = 100
 BATCH = 128
@@ -86,9 +88,12 @@ TOKEN_RATIO = 0.7
 # — each image's template weight is drawn from contrast_range, so the
 # eval set always contains near-ambiguous images and accuracy measures
 # the decoding threshold (see ProceduralLoader docstring).  Range picked
-# by the r5 sweep (tune_procedural --epochs 25, the pipeline's total
-# budget): see ledger in the artifact.
-HARD = dict(contrast_range=(0.25, 0.48), noise_mode="lowpass", jitter=0,
+# by the r5 sweep (tune_procedural --epochs 25 = the pipeline's total
+# budget, seed 0): (0.28,0.52) -> ceiling 0.995, (0.25,0.48) -> 0.986,
+# (0.22,0.45) -> 0.973 <- picked (the only one whose LONG-budget ceiling
+# clears the 0.985 saturation guards with margin); 5/7-epoch dense lands
+# 0.68/0.92 there.
+HARD = dict(contrast_range=(0.22, 0.45), noise_mode="lowpass", jitter=0,
             freq=4.0)
 
 
@@ -282,8 +287,8 @@ def main():
         "A6 compact FLOPs <= real + 0.05": frac <= final_flops + 0.05,
         "A7 slim acc >= masked-dense slim - 0.02":
             slim_acc >= md_slim_acc - 0.02,
-        "A8 stage-2 acc <= 0.98 (unsaturated)": stage2_acc <= 0.98,
-        "A9 slim acc <= 0.98 (unsaturated)": slim_acc <= 0.98,
+        "A8 stage-2 acc <= 0.985 (unsaturated)": stage2_acc <= 0.985,
+        "A9 slim acc <= 0.985 (unsaturated)": slim_acc <= 0.985,
     }
     ok = True
     for name, passed in gates.items():
