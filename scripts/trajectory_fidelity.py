@@ -137,13 +137,16 @@ def _uvc_hp(MinimaxHParams):
         # rates (slr/rlr/glr/lr) stay at recipe values — they are coupled
         # to per-step weight adaptation, not to the horizon.
         #
-        # The staircase keeps the recipe's 2->34 endpoints but at 1-epoch
-        # granularity (10 entries, gap=1): on the 2x-compressed epoch axis
-        # the recipe's 5-entry list makes +8 zlr lumps every 3 epochs, and
-        # the epoch-9/12 lumps were measured (first r5 run) to cliff the
-        # argmax-architecture FLOPs 75->35 in ONE epoch — a schedule
-        # artifact, not a dynamics property.  Finer stairs, same integral.
-        zlr_schedule=(2, 6, 9, 13, 16, 20, 23, 27, 30, 34),
+        # The staircase keeps the recipe's 2->34 endpoints and its
+        # integral (cumulative zlr 254 vs the 5-entry list's 270 over 15
+        # epochs, 116->110 through epoch 10) but at 1-epoch granularity:
+        # on the 2x-compressed epoch axis the recipe's 5-entry list makes
+        # +8 zlr lumps every 3 epochs, and the late lumps were measured
+        # (first r5 run) to mass-flip the argmax architecture 75->35 in
+        # ONE epoch with an overshoot-recovery tail (23->37).  Max stair
+        # here is +3/epoch.
+        zlr_schedule=(2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29,
+                      32, 34),
         gating_interval=10,
         gating_weight=5e-4,   # the published tiny recipe (log Namespace);
                               # the argparse default 5 slams gates shut
