@@ -58,6 +58,7 @@ Usage:  timeout 4500 python scripts/e2e_accuracy.py --out E2EACC_r05.json
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -199,7 +200,31 @@ def main():
                      logger=MetricLogger(out, "dense"))
     dense = jax.tree.map(jnp.copy, pre.state.params)
     dense_acc = float(pre.best_acc)
-    print(f"[A] dense acc {dense_acc * 100:.1f}%", flush=True)
+    # Train-to-proficiency (r5, after seed-2 measured dense 0.68 at a
+    # fixed 7 epochs vs 0.92/0.80 at seeds 0/1): per-seed task instances
+    # differ in difficulty, and the reference's recipe always starts
+    # compression from a WELL-TRAINED dense model (an ImageNet
+    # checkpoint), not from a fixed small step budget.  Extend in
+    # 2-epoch chunks until the dense baseline clears the A1 floor with
+    # margin (or a hard cap), keeping A1 a real learnability gate.
+    total_ep = PRETRAIN_EPOCHS
+    while dense_acc < 0.75 and total_ep < 13:
+        cont = run_stage1(cfg, hp_pre,
+                          dataclasses.replace(thp_pre, t_total=2 * STEPS,
+                                              num_epochs=2,
+                                              warmup_epochs=2),
+                          train_loader=train, test_loader=test,
+                          params=dense, seed=opts.seed + total_ep,
+                          output_dir=out, name=f"dense_ext{total_ep}",
+                          eval_each_epoch=True, save_checkpoints=False,
+                          logger=MetricLogger(out, f"dense_ext{total_ep}"))
+        dense = jax.tree.map(jnp.copy, cont.state.params)
+        dense_acc = float(cont.best_acc)
+        total_ep += 2
+        print(f"[A] dense extended to {total_ep} epochs: "
+              f"acc {dense_acc * 100:.1f}%", flush=True)
+    print(f"[A] dense acc {dense_acc * 100:.1f}% ({total_ep} epochs)",
+          flush=True)
 
     # ---- phase B: stage-1 UVC with token selection ----
     hp = MinimaxHParams(
@@ -309,6 +334,7 @@ def main():
                 "wall_s": round(time.time() - t0, 1),
                 "gates": {k: bool(v) for k, v in gates.items()},
                 "dense_acc": round(dense_acc, 4),
+                "dense_epochs": total_ep,
                 "stage1_acc": round(float(s1.best_acc), 4),
                 "stage2_acc": round(stage2_acc, 4),
                 "compact_acc": round(compact_acc, 4),
