@@ -33,6 +33,19 @@ def test_zlr_staircase_degenerate_shapes():
     assert hp.zlr_for_epoch(3, 2) == 4.0
 
 
+def test_zlr_staircase_per_epoch_ramp():
+    # the fidelity harness's equal-integral ramp relies on gap=1 when
+    # len(list) == num_epochs: epoch e takes entry e, last entry sticks
+    sched = tuple(float(v) for v in range(1, 16))
+    hp = MinimaxHParams(zlr_schedule=sched)
+    for e in range(15):
+        assert hp.zlr_for_epoch(e, 15) == sched[e]
+    assert hp.zlr_for_epoch(20, 15) == sched[-1]
+    # len > epochs/2 (the below scenario: 15 entries, 12 epochs): still
+    # gap=1, so the tail entries beyond num_epochs are simply unused
+    assert hp.zlr_for_epoch(11, 12) == sched[11]
+
+
 def test_tau_ramp_rises():
     assert np.isclose(float(get_tau(10.0, 0.1, 0, 1000)), 0.1)
     assert np.isclose(float(get_tau(10.0, 0.1, 500, 1000)), 5.05)
