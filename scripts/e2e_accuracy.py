@@ -199,7 +199,12 @@ def main():
                      save_checkpoints=False,
                      logger=MetricLogger(out, "dense"))
     dense = jax.tree.map(jnp.copy, pre.state.params)
-    dense_acc = float(pre.best_acc)
+    # The dense baseline is always the accuracy of the CARRIED params
+    # (direct eval), not run_stage1's best-epoch running max — the
+    # carried final-epoch params are what stage 1 inits from and what
+    # the distillation teacher serves, so A1/A2 must gate those.
+    dense_acc = masked_dense_accuracy(dense, None, cfg, test)
+
     # Train-to-proficiency (r5, after seed-2 measured dense 0.68 at a
     # fixed 7 epochs vs 0.92/0.80 at seeds 0/1): per-seed task instances
     # differ in difficulty, and the reference's recipe always starts
@@ -207,19 +212,38 @@ def main():
     # checkpoint), not from a fixed small step budget.  Extend in
     # 2-epoch chunks until the dense baseline clears the A1 floor with
     # margin (or a hard cap), keeping A1 a real learnability gate.
+    class _EpochOffset:
+        """ProceduralLoader batches derive from (seed, epoch) tags, and
+        run_stage1 numbers each run's epochs from 1 — an offset keeps
+        every extension chunk on FRESH stream tags instead of replaying
+        the main run's epoch-1/2 batches."""
+
+        def __init__(self, loader, off):
+            self._loader, self._off = loader, off
+
+        def __len__(self):
+            return len(self._loader)
+
+        def set_epoch(self, epoch):
+            self._loader.set_epoch(epoch + self._off)
+
+        def __iter__(self):
+            return iter(self._loader)
+
     total_ep = PRETRAIN_EPOCHS
     while dense_acc < 0.75 and total_ep < 13:
         cont = run_stage1(cfg, hp_pre,
                           dataclasses.replace(thp_pre, t_total=2 * STEPS,
                                               num_epochs=2,
                                               warmup_epochs=2),
-                          train_loader=train, test_loader=test,
+                          train_loader=_EpochOffset(train, total_ep),
+                          test_loader=test,
                           params=dense, seed=opts.seed + total_ep,
                           output_dir=out, name=f"dense_ext{total_ep}",
                           eval_each_epoch=True, save_checkpoints=False,
                           logger=MetricLogger(out, f"dense_ext{total_ep}"))
         dense = jax.tree.map(jnp.copy, cont.state.params)
-        dense_acc = float(cont.best_acc)
+        dense_acc = masked_dense_accuracy(dense, None, cfg, test)
         total_ep += 2
         print(f"[A] dense extended to {total_ep} epochs: "
               f"acc {dense_acc * 100:.1f}%", flush=True)

@@ -51,16 +51,21 @@ def run_variant(model, name, env_over, timeout_s):
         env=env, capture_output=True, text=True, timeout=timeout_s)
     wall = round(time.time() - t0, 1)
     row = {"env": env_over, "wall_s": wall, "rc": p.returncode}
-    if p.returncode == 0 and os.path.exists(out):
-        data = json.load(open(out))
-        per = data["models"][model]
-        row.update(full_ms=per.get("full"), noteacher_ms=per.get("noteacher"))
-        if "full" in per and "noteacher" in per:
-            row["teacher_in_step_ms"] = round(per["full"] - per["noteacher"], 2)
-        os.unlink(out)
-    else:
-        tail = (p.stdout + p.stderr).strip().splitlines()[-12:]
-        row["fail_tail"] = "\n".join(tail)
+    try:
+        if p.returncode == 0 and os.path.exists(out):
+            data = json.load(open(out))
+            per = data["models"][model]
+            row.update(full_ms=per.get("full"),
+                       noteacher_ms=per.get("noteacher"))
+            if "full" in per and "noteacher" in per:
+                row["teacher_in_step_ms"] = round(
+                    per["full"] - per["noteacher"], 2)
+        else:
+            tail = (p.stdout + p.stderr).strip().splitlines()[-12:]
+            row["fail_tail"] = "\n".join(tail)
+    finally:
+        if os.path.exists(out):
+            os.unlink(out)
     return row
 
 
@@ -81,11 +86,18 @@ def main():
                           "fail_tail": f"killed at {opts.timeout}s"}
         print(json.dumps(rows[name], indent=1), flush=True)
 
-    base = rows.get("default", {}).get("full_ms")
-    verdict = "no variant ran"
-    if base:
-        best = min((r["full_ms"], n) for n, r in rows.items()
-                   if r.get("full_ms"))
+    ran = {n: r["full_ms"] for n, r in rows.items() if r.get("full_ms")}
+    base = ran.get("default")
+    if not ran:
+        verdict = "no variant ran"
+    elif base is None:
+        # a transient wedge can kill just the first subprocess — say so
+        # instead of pretending nothing ran (the variants data is real)
+        verdict = (f"default variant failed; forced-group rows ran "
+                   f"({', '.join(f'{n}={v:.2f}ms' for n, v in ran.items())})"
+                   f" — rerun for a comparison, no adoption either way")
+    else:
+        best = min((v, n) for n, v in ran.items())
         win = (base - best[0]) / base
         verdict = (f"best={best[1]} full={best[0]:.2f}ms "
                    f"({win * 100:+.1f}% vs default) — "

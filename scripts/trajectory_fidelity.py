@@ -48,9 +48,9 @@ it starts dense) with the same budget 0.5:
   B1  starts below budget: first-epoch argmax Real <= 0.42
   B2  rises: tail mean (argmax, last 3) - first epoch >= 0.08
   B3  lands at the budget band: tail mean (argmax) in [0.40, 0.60]
-  B4  dual relaxed on the way: min z over the run < 0.5 * final z OR
-      final z small (< 0.2) — z must have spent time unbound at/near 0
-      while below budget
+  B4  dual relaxed early: z at the end of epoch 1 <= 0.1 — while
+      resource < budget the z-excess is negative and the >= 0 projection
+      pins z at 0 (a dual-ascent sign error would blow z up here)
   B5  invariants (as T5)
   B6  smoothness: argmax bounce <= 0.15 after the first 2 epochs
 
@@ -141,9 +141,12 @@ def _uvc_hp(MinimaxHParams):
         # to per-step weight adaptation, not to the horizon.
         #
         # The staircase keeps the recipe's 2->34 endpoints and its
-        # integral (cumulative zlr 254 vs the 5-entry list's 270 over 15
-        # epochs, 116->110 through epoch 10) but at 1-epoch granularity:
-        # on the 2x-compressed epoch axis the recipe's 5-entry list makes
+        # integral but at 1-epoch granularity.  run_stage1 numbers epochs
+        # from 1, so the EXECUTED ramp is entries 1..14 (entry 0 never
+        # applies; the last entry repeats at epoch 15): cumulative zlr
+        # 286 vs the 5-entry list's 302 over 15 epochs, 131 vs 140
+        # through epoch 10 (tests/test_schedules.py pins the mapping).
+        # On the 2x-compressed epoch axis the recipe's 5-entry list makes
         # +8 zlr lumps every 3 epochs, and the late lumps were measured
         # (first r5 run) to mass-flip the argmax architecture 75->35 in
         # ONE epoch with an overshoot-recovery tail (23->37).  Max stair
@@ -188,24 +191,29 @@ def run_pretrain(out, train, test, cache=None):
         img_size=IMG, num_classes=CLASSES)
     dtype = (jax.numpy.bfloat16 if jax.devices()[0].platform != "cpu"
              else jax.numpy.float32)
+    # fingerprint so a stale/smoke-mode cache can never feed a committed
+    # artifact run a differently-trained dense model
+    fprint = {"steps": STEPS, "batch": BATCH, "pre_epochs": PRETRAIN_EPOCHS,
+              "classes": CLASSES, "img": IMG, "dtype": str(dtype.__name__)}
     if cache and os.path.exists(cache):
         # dev-iteration shortcut: identical dense init across harness runs
         import pickle
         with open(cache, "rb") as fh:
             blob = pickle.load(fh)
-        dense = jax.tree.map(jax.numpy.asarray, blob["params"])
-        print(f"pretrain cache hit: {cache} (acc {blob['acc'] * 100:.1f}%)")
-        return cfg, dtype, dense, blob["acc"]
+        if blob.get("fprint") == fprint:
+            dense = jax.tree.map(jax.numpy.asarray, blob["params"])
+            print(f"pretrain cache hit: {cache} "
+                  f"(acc {blob['acc'] * 100:.1f}%)")
+            return cfg, dtype, dense, blob["acc"]
+        print(f"pretrain cache STALE (fprint {blob.get('fprint')} != "
+              f"{fprint}): retraining")
     hp_pre = MinimaxHParams(enable_patch_gating=0, enable_pruning=False)
     thp_pre = TrainHParams(
         learning_rate=1e-3, warmup_lr=1e-3, weight_decay=0.05,
         warmup_steps=0, t_total=PRETRAIN_EPOCHS * STEPS,
         num_epochs=PRETRAIN_EPOCHS, warmup_epochs=PRETRAIN_EPOCHS,
         num_classes=CLASSES, mixup=0.0, cutmix=0.0, smoothing=0.1,
-        distillation_type="none",
-        compute_dtype=(jax.numpy.bfloat16
-                       if jax.devices()[0].platform != "cpu"
-                       else jax.numpy.float32))
+        distillation_type="none", compute_dtype=dtype)
     logger = MetricLogger(out, "pretrain")
     pre = run_stage1(cfg, hp_pre, thp_pre, train_loader=train,
                      test_loader=test, seed=0, output_dir=out,
@@ -216,9 +224,10 @@ def run_pretrain(out, train, test, cache=None):
         import pickle
         with open(cache, "wb") as fh:
             pickle.dump({"params": jax.tree.map(np.asarray, dense),
-                         "acc": float(pre.best_acc)}, fh)
+                         "acc": float(pre.best_acc),
+                         "fprint": fprint}, fh)
         print(f"pretrain cached -> {cache}")
-    return cfg, thp_pre.compute_dtype, dense, float(pre.best_acc)
+    return cfg, dtype, dense, float(pre.best_acc)
 
 
 def run_scenario_tiny(out, cfg, dtype, dense, train, test):

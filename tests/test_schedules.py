@@ -41,9 +41,15 @@ def test_zlr_staircase_per_epoch_ramp():
     for e in range(15):
         assert hp.zlr_for_epoch(e, 15) == sched[e]
     assert hp.zlr_for_epoch(20, 15) == sched[-1]
-    # len > epochs/2 (the below scenario: 15 entries, 12 epochs): still
-    # gap=1, so the tail entries beyond num_epochs are simply unused
-    assert hp.zlr_for_epoch(11, 12) == sched[11]
+    # what the trainer EXECUTES: run_stage1 numbers epochs from 1
+    # (stage1.py epoch loop), so entry 0 never applies and the ramp seen
+    # on-chip is entries 1..14 with entry 14 repeating at epoch 15 —
+    # the convention the fidelity harness's integral accounting uses
+    executed = [hp.zlr_for_epoch(e, 15) for e in range(1, 16)]
+    assert executed == list(sched[1:]) + [sched[-1]]
+    # below scenario shape (15 entries, 12 epochs): gap stays 1 and the
+    # final executed epoch (12) takes entry 12, not 11
+    assert hp.zlr_for_epoch(12, 12) == sched[12]
 
 
 def test_tau_ramp_rises():
