@@ -230,6 +230,9 @@ def main():
         def __iter__(self):
             return iter(self._loader)
 
+        def __getattr__(self, name):          # batch_size etc.
+            return getattr(self._loader, name)
+
     total_ep = PRETRAIN_EPOCHS
     while dense_acc < 0.75 and total_ep < 13:
         cont = run_stage1(cfg, hp_pre,
