@@ -63,6 +63,8 @@ def run_variant(model, name, env_over, timeout_s):
         else:
             tail = (p.stdout + p.stderr).strip().splitlines()[-12:]
             row["fail_tail"] = "\n".join(tail)
+    except Exception as e:           # unreadable/format-drifted output:
+        row["fail_tail"] = f"output parse failed: {e!r}"
     finally:
         if os.path.exists(out):
             os.unlink(out)

@@ -194,7 +194,10 @@ def run_pretrain(out, train, test, cache=None):
     # fingerprint so a stale/smoke-mode cache can never feed a committed
     # artifact run a differently-trained dense model
     fprint = {"steps": STEPS, "batch": BATCH, "pre_epochs": PRETRAIN_EPOCHS,
-              "classes": CLASSES, "img": IMG, "dtype": str(dtype.__name__)}
+              "classes": CLASSES, "img": IMG, "dtype": str(dtype.__name__),
+              # training hyperparameters — the dev-iteration edits the
+              # cache exists to survive must also invalidate it
+              "lr": 1e-3, "wd": 0.05, "smoothing": 0.1, "seed": 0}
     if cache and os.path.exists(cache):
         # dev-iteration shortcut: identical dense init across harness runs
         import pickle
@@ -204,7 +207,7 @@ def run_pretrain(out, train, test, cache=None):
             dense = jax.tree.map(jax.numpy.asarray, blob["params"])
             print(f"pretrain cache hit: {cache} "
                   f"(acc {blob['acc'] * 100:.1f}%)")
-            return cfg, dtype, dense, blob["acc"]
+            return cfg, dtype, dense, blob["acc"], True
         print(f"pretrain cache STALE (fprint {blob.get('fprint')} != "
               f"{fprint}): retraining")
     hp_pre = MinimaxHParams(enable_patch_gating=0, enable_pruning=False)
@@ -227,7 +230,7 @@ def run_pretrain(out, train, test, cache=None):
                          "acc": float(pre.best_acc),
                          "fprint": fprint}, fh)
         print(f"pretrain cached -> {cache}")
-    return cfg, dtype, dense, float(pre.best_acc)
+    return cfg, dtype, dense, float(pre.best_acc), False
 
 
 def run_scenario_tiny(out, cfg, dtype, dense, train, test):
@@ -407,12 +410,13 @@ def main():
     # every run of a scenario identical, cache or not.
     test = TextureLoader(BATCH, 5, seed=99)
 
-    cfg, dtype, dense, pre_acc = run_pretrain(
+    cfg, dtype, dense, pre_acc, cached = run_pretrain(
         out, TextureLoader(BATCH, STEPS, seed=0), test,
         cache=opts.pretrain_cache)
     print(f"pretrain acc: {pre_acc * 100:.1f}%")
 
-    gates, payload = {}, {"pretrain_acc": round(pre_acc, 4)}
+    gates, payload = {}, {"pretrain_acc": round(pre_acc, 4),
+                          "pretrain_from_cache": cached}
     if opts.scenario in ("both", "tiny"):
         g, p = run_scenario_tiny(out, cfg, dtype, dense,
                                  TextureLoader(BATCH, STEPS, seed=10),
